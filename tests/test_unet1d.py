@@ -1,0 +1,80 @@
+"""Unet1D shape/conditioning contracts (reference srcs/modules/unet.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ladiffcodec_tpu.models.unet1d import Unet1D, scale_feature_map, sinusoidal_pos_emb
+
+
+def test_sinusoidal_pos_emb():
+    e = sinusoidal_pos_emb(jnp.array([0.0, 5.0]), 64)
+    assert e.shape == (2, 64)
+    # t=0: sin part zero, cos part one
+    np.testing.assert_allclose(np.asarray(e[0, :32]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(e[0, 32:]), 1.0, atol=1e-6)
+
+
+def test_scale_feature_map():
+    x = jnp.array([[[3.0, -6.0], [1.0, 2.0]]])
+    y, s = scale_feature_map(x)
+    assert float(s[0, 0, 0]) == 6.0
+    assert float(jnp.max(jnp.abs(y))) == pytest.approx(1.0, rel=1e-5)
+
+
+def test_unet_uncond_smoke():
+    """Reference inline test (unet.py:472-480): dims 64, mults (1,2,4,4)."""
+    unet = Unet1D(dim=32, dim_mults=(1, 2, 4, 4), inp_channels=3)
+    x = jnp.ones((2, 256, 3))
+    t = jnp.array([2, 7])
+    params = unet.init(jax.random.PRNGKey(0), x, t)
+    y = unet.apply(params, x, t)
+    assert y.shape == x.shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_unet_flagship_conditioned():
+    """Flagship config (model.py:74): mults (1,2,2,4,4), 128-ch latent,
+    other_cond with upsampling 4 (ratios [4] lifts hop-32 codec latent to
+    hop-8 diffusion latent)."""
+    unet = Unet1D(
+        dim=16,
+        dim_mults=(1, 2, 2, 4, 4),
+        inp_channels=8,
+        other_cond=True,
+        cond_channels=8,
+        upsampling_ratios=(4,),
+        unet_scale_cond=True,
+    )
+    T = 64  # divisible by 2^4
+    x = jnp.ones((1, T, 8))
+    t = jnp.array([5])
+    cond = jnp.ones((1, T // 4, 8))
+    params = unet.init(jax.random.PRNGKey(0), x, t, cond)
+    y = unet.apply(params, x, t, cond)
+    assert y.shape == x.shape
+
+    # process_cond standalone must match the fused path
+    pc = unet.apply(params, cond, method="process_cond")
+    assert pc.shape == (1, T, 8)
+    y2 = unet.apply(params, x, t, pc, cond_processed=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2), rtol=2e-5, atol=2e-5)
+
+
+def test_unet_film_params_exist():
+    unet = Unet1D(
+        dim=16,
+        dim_mults=(1, 2),
+        inp_channels=4,
+        other_cond=True,
+        cond_channels=4,
+        upsampling_ratios=(2,),
+        use_film=True,
+    )
+    x = jnp.ones((1, 16, 4))
+    cond = jnp.ones((1, 8, 4))
+    params = unet.init(jax.random.PRNGKey(0), x, jnp.array([1]), cond)
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    names = {"/".join(str(k.key) for k in path) for path, _ in flat}
+    assert any("scale_layer" in n for n in names), sorted(names)[:10]
