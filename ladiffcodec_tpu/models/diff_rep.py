@@ -1,0 +1,453 @@
+"""Composite LaDiffCodec models (reference srcs/model.py).
+
+`DiffAudioRep` ties together the SEANet encoder/decoder, the RVQ, and the
+latent-diffusion de-quantizer.  It is a flax module whose variables live in
+two collections:
+
+  * "params"    — all network weights;
+  * "quantizer" — the RVQ EMA codebook state (embed / embed_avg /
+                  cluster_size / inited), updated functionally via
+                  ``mutable=["quantizer"]`` during training.
+
+The loss-dict contract of the reference is preserved: the FIRST entry is the
+optimizer target and the LAST is the checkpoint-selection metric
+(model.py:209-221, train.py:154/403).
+
+Layout: audio (B, L, 1), latents (B, T, C) — NLC throughout.
+"""
+
+from __future__ import annotations
+
+import math
+import typing as tp
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .seanet import SEANetEncoder, SEANetDecoder
+from .unet1d import Unet1D
+from ..quantization.core import (
+    RVQState,
+    init_rvq_state,
+    kmeans_init_state,
+    rvq_forward,
+    rvq_encode,
+    rvq_decode,
+)
+from ..diffusion.gaussian import GaussianDiffusion1D, make_schedule
+from ..losses.losses_fn import sdr_loss, prior_loss_fn
+
+GLOBAL_SCALE = 18.0  # the hardcoded global latent normalizer (model.py:166,236)
+
+
+class DiffAudioRep(nn.Module):
+    """Reference srcs/model.py:32-238.
+
+    Constructor args mirror the reference flags 1:1 (train.py:229-287 passes
+    **vars(args) straight in); extra **kwargs are accepted and ignored the
+    same way.
+    """
+
+    rep_dims: int = 128
+    emb_dims: int = 128
+    diff_dims: int = 128
+    norm: str = "weight_norm"
+    causal: bool = True
+    dilation_base: int = 2
+    n_residual_layers: int = 1
+    n_filters: int = 32
+    lstm: int = 0
+    quantization: bool = False
+    bandwidth: float = 3.0
+    sample_rate: int = 16000
+    qtz_condition: bool = False
+    self_condition: bool = False
+    other_cond: bool = False
+    seq_length: int = 320
+    enc_ratios: tp.Sequence[int] = (8, 5, 4, 2)
+    run_diff: bool = False
+    run_vae: bool = False
+    model_type: str = ""
+    scaling_frame: bool = False
+    scaling_feature: bool = False
+    scaling_global: bool = False
+    scaling_dim: bool = False
+    freeze_ed: bool = False
+    final_activation: tp.Optional[str] = None
+    sampling_timesteps: tp.Optional[int] = None
+    use_film: bool = False
+    cond_global: float = 1.0
+    cond_channels: int = 128
+    upsampling_ratios: tp.Optional[tp.Sequence[int]] = (5, 4, 2)
+    unet_scale_x: bool = False
+    unet_scale_cond: bool = True
+    # RVQ hyperparameters (reference vq.py defaults)
+    bins: int = 1024
+    rvq_decay: float = 0.99
+    rvq_kmeans_init: bool = True
+    rvq_kmeans_iters: int = 50
+    rvq_threshold_ema_dead_code: float = 2.0
+    # diffusion
+    timesteps: int = 1000
+    beta_schedule: str = "cosine"
+    diff_objective: str = "pred_noise"
+    diff_loss_type: str = "l1"
+
+    @property
+    def hop_length(self) -> int:
+        h = 1
+        for r in self.enc_ratios:
+            h *= int(r)
+        return h
+
+    @property
+    def frame_rate(self) -> float:
+        return self.sample_rate / self.hop_length
+
+    @property
+    def n_q(self) -> int:
+        """reference model.py:65: n_q = 1000·bw // (ceil(frame_rate)·10)."""
+        return int(1000 * self.bandwidth // (math.ceil(self.frame_rate) * 10))
+
+    def _bw_n_q(self) -> int:
+        """n_q actually selected at forward time (vq.py:86-98 policy with
+        frame_rate standing in for sample_rate, model.py:153)."""
+        bw_per_q = math.log2(self.bins) * self.frame_rate / 1000.0
+        if self.bandwidth and self.bandwidth > 0:
+            return max(1, int(math.floor(self.bandwidth / bw_per_q)))
+        return self.n_q
+
+    def setup(self):
+        self.encoder = SEANetEncoder(
+            channels=1,
+            ratios=tuple(self.enc_ratios),
+            dimension=self.rep_dims,
+            norm=self.norm,
+            causal=self.causal,
+            dilation_base=self.dilation_base,
+            n_residual_layers=self.n_residual_layers,
+            n_filters=self.n_filters,
+            lstm=self.lstm,
+            kernel_size=7,
+            last_kernel_size=7,
+            final_activation=self.final_activation,
+        )
+        self.decoder = SEANetDecoder(
+            channels=1,
+            ratios=tuple(self.enc_ratios),
+            dimension=self.rep_dims,
+            norm=self.norm,
+            causal=self.causal,
+            dilation_base=self.dilation_base,
+            n_residual_layers=self.n_residual_layers,
+            n_filters=self.n_filters,
+            lstm=self.lstm,
+            kernel_size=7,
+            last_kernel_size=7,
+        )
+        if self.run_vae:
+            self.vae_mu_conv = nn.Dense(self.rep_dims)
+            self.vae_logvar_conv = nn.Dense(self.rep_dims)
+
+        if self.quantization:
+            n_q = self.n_q
+            self.rvq_embed = self.variable(
+                "quantizer",
+                "state",
+                lambda: init_rvq_state(
+                    jax.random.PRNGKey(0), n_q, self.bins, self.rep_dims, self.rvq_kmeans_init
+                ),
+            )
+
+        if self.run_diff:
+            if self.model_type == "unet":
+                self.diff_model = Unet1D(
+                    dim=self.diff_dims,
+                    dim_mults=(1, 2, 2, 4, 4),
+                    inp_channels=self.rep_dims,
+                    self_condition=self.self_condition,
+                    qtz_condition=self.qtz_condition,
+                    other_cond=self.other_cond,
+                    use_film=self.use_film,
+                    cond_global=self.cond_global,
+                    cond_channels=self.cond_channels,
+                    upsampling_ratios=tuple(self.upsampling_ratios)
+                    if self.upsampling_ratios is not None
+                    else None,
+                    unet_scale_x=self.unet_scale_x,
+                    unet_scale_cond=self.unet_scale_cond,
+                )
+            elif self.model_type == "transformer":
+                from .transformer import TransformerDDPM
+
+                self.diff_model = TransformerDDPM(
+                    rep_dims=self.rep_dims,
+                    emb_dims=self.emb_dims,
+                    mlp_dims=self.diff_dims,
+                    num_layers=6,
+                    num_heads=8,
+                    num_mlp_layers=2,
+                    self_condition=self.self_condition,
+                    qtz_condition=self.qtz_condition,
+                )
+            elif self.model_type == "unet2d":
+                from .unet2d import UNet2D
+
+                self.diff_model = UNet2D(
+                    inp_channels=1,
+                    n_channels=self.diff_dims,
+                    ch_mults=(1, 2, 2, 4),
+                    is_attn=(False, False, False, True),
+                )
+            else:
+                raise ValueError(f"Model type undefined: {self.model_type!r}")
+
+    @property
+    def diffusion(self) -> GaussianDiffusion1D:
+        return GaussianDiffusion1D(
+            schedule=make_schedule(self.timesteps, self.beta_schedule),
+            objective=self.diff_objective,
+            loss_type=self.diff_loss_type,
+            sampling_timesteps=self.sampling_timesteps,
+            self_condition=self.self_condition,
+        )
+
+    # ---- latent normalization (reference model.py:122-143) ----
+    def scaling(self, x_rep: jnp.ndarray, global_max: float = 1.0):
+        B, T, C = x_rep.shape
+        scale = None
+        if self.scaling_frame:
+            scale = jnp.max(jnp.abs(x_rep), axis=-1, keepdims=True)  # per frame over channels
+            x_rep = x_rep / (scale + 1e-20)
+        elif self.scaling_feature:
+            scale = jnp.max(jnp.abs(x_rep.reshape(B, -1)), axis=1)[:, None, None]
+            x_rep = x_rep / (scale + 1e-20)
+        elif self.scaling_global:
+            scale = jnp.asarray(global_max, x_rep.dtype)
+            x_rep = x_rep / scale
+        elif self.scaling_dim:
+            scale = jnp.max(jnp.abs(x_rep), axis=1, keepdims=True)  # per channel over time
+            x_rep = x_rep / scale
+        return x_rep, scale
+
+    # ---- sub-path helpers (each usable via apply(..., method=...)) ----
+    def encode(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(x)
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(z)
+
+    def _quantize(self, x_rep, *, training=False, key=None, axis_name=None):
+        state: RVQState = self.rvq_embed.value
+        n_q = self._bw_n_q()
+        out = rvq_forward(
+            state,
+            x_rep,
+            n_q,
+            training=training,
+            key=key,
+            decay=self.rvq_decay,
+            threshold_ema_dead_code=self.rvq_threshold_ema_dead_code,
+            axis_name=axis_name,
+        )
+        if training and not self.is_initializing():
+            self.rvq_embed.value = out.state
+        return out
+
+    def encode_codes(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Audio -> RVQ codes (n_q, B, T): the bitstream symbols."""
+        x_rep = self.encoder(x)
+        return rvq_encode(self.rvq_embed.value, x_rep, self._bw_n_q())
+
+    def decode_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """RVQ codes -> audio through the decoder."""
+        return self.decoder(rvq_decode(self.rvq_embed.value, codes))
+
+    def get_cond(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Encoder (+RVQ) latent of the conditioning codec, no gradients
+        (reference model.py:223-231)."""
+        x_rep = self.encoder(x)
+        if self.quantization:
+            out = self._quantize(x_rep, training=False)
+            x_rep = out.quantized
+        return jax.lax.stop_gradient(x_rep)
+
+    def get_scale(self, x: jnp.ndarray):
+        x_rep = self.encoder(x)
+        _, scale = self.scaling(x_rep, global_max=GLOBAL_SCALE)
+        return scale
+
+    def kmeans_init(self, x: jnp.ndarray, key: jax.Array):
+        """Run k-means codebook init on this batch (call once with
+        mutable=['quantizer'] before training)."""
+        x_rep = self.encoder(x)
+        state = self.rvq_embed.value
+        new_state = kmeans_init_state(key, state, x_rep, self.n_q, self.rvq_kmeans_iters)
+        self.rvq_embed.value = new_state
+        return new_state.inited
+
+    def diff_model_fn(self, x, t, cond, cond_processed: bool = False):
+        """The ε-model closure handed to the diffusion process."""
+        if self.model_type == "unet":
+            return self.diff_model(x, t, cond, cond_processed=cond_processed)
+        return self.diff_model(x, t, cond)
+
+    def process_cond(self, cond: jnp.ndarray) -> jnp.ndarray:
+        return self.diff_model.process_cond(cond)
+
+    # ---- training / eval forward (reference model.py:146-221) ----
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key: tp.Optional[jax.Array] = None,
+        t: tp.Optional[jnp.ndarray] = None,
+        cond: tp.Optional[jnp.ndarray] = None,
+        training: bool = False,
+        axis_name: tp.Optional[str] = None,
+    ):
+        """Returns (losses: dict, aux: dict).  losses is insertion-ordered:
+        first = optimizer target, last = model-selection metric."""
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        key_q, key_d = jax.random.split(key)
+
+        x_rep = self.encoder(x)
+
+        x_rep_qtz = None
+        qtz_loss = None
+        if self.quantization:
+            qout = self._quantize(x_rep, training=training, key=key_q, axis_name=axis_name)
+            x_rep_qtz = qout.quantized
+            qtz_loss = jnp.mean(qout.commit_loss)
+
+        prior_loss = None
+        if self.run_vae:
+            C = x_rep.shape[-1]
+            mu = self.vae_mu_conv(x_rep[..., : C // 2])
+            logvar = self.vae_logvar_conv(x_rep[..., C // 2 :])
+            noise = jax.random.normal(key_d, mu.shape, mu.dtype)
+            x_rep = mu + jnp.exp(logvar) * noise
+            prior_loss = prior_loss_fn(mu, logvar)
+
+        aux: tp.Dict[str, tp.Any] = {}
+        if self.run_diff:
+            x_rep_s, scale = self.scaling(x_rep, global_max=GLOBAL_SCALE)
+            diffusion = self.diffusion
+            model_fn = lambda xx, tt, cc: self.diff_model_fn(xx, tt, cc)
+            if cond is not None:
+                diff_loss, pred_x_start, x_t, t_out = diffusion(
+                    model_fn, jax.lax.stop_gradient(x_rep_s), key_d, cond=cond, t=t
+                )
+            elif self.qtz_condition:
+                diff_loss, pred_x_start, x_t, t_out = diffusion(
+                    model_fn, x_rep_s, key_d, cond=x_rep_qtz, t=t
+                )
+            else:
+                diff_loss, pred_x_start, x_t, t_out = diffusion(
+                    model_fn, jax.lax.stop_gradient(x_rep_s), key_d, cond=None, t=t
+                )
+            in_dec = pred_x_start * scale if scale is not None else pred_x_start
+            x_hat = self.decoder(in_dec)
+            neg_loss = jnp.mean(sdr_loss(x, x_hat))
+            losses = {"diff_loss": diff_loss, "neg_loss": neg_loss}
+            aux = dict(
+                x_hat=x_hat,
+                x_rep=x_rep_s,
+                predicted_x_start=pred_x_start,
+                x_t=x_t,
+                t=t_out,
+                x_rep_qtz=x_rep_qtz,
+                scale=scale,
+            )
+            return losses, aux
+
+        in_dec = x_rep_qtz if self.quantization else x_rep
+        x_hat = self.decoder(in_dec)
+        neg_loss = jnp.mean(sdr_loss(x, x_hat))
+        aux = dict(x_hat=x_hat, x_rep=x_rep, x_rep_qtz=x_rep_qtz)
+
+        if self.run_vae:
+            tot_loss = 0.1 * prior_loss + neg_loss
+            return {"total_loss": tot_loss, "prior_loss": prior_loss, "neg_sdr": neg_loss}, aux
+        if not self.quantization:
+            return {"neg_sdr": neg_loss}, aux
+        tot_loss = qtz_loss + neg_loss
+        return {"tot_loss": tot_loss, "qtz_loss": qtz_loss, "neg_sdr": neg_loss}, aux
+
+
+class DiffAudioTime(nn.Module):
+    """Diffusion directly on the waveform (reference srcs/model.py:241-295)."""
+
+    rep_dims: int = 128
+    emb_dims: int = 128
+    diff_dims: int = 128
+    self_condition: bool = False
+    qtz_condition: bool = False
+    other_cond: bool = False
+    seq_length: int = 320
+    model_type: str = "unet"
+    use_film: bool = False
+    cond_global: float = 1.0
+    cond_channels: int = 128
+    upsampling_ratios: tp.Optional[tp.Sequence[int]] = (5, 4, 2)
+    unet_scale_x: bool = False
+    unet_scale_cond: bool = True
+    scaling_frame: bool = False
+    scaling_feature: bool = False
+    scaling_global: bool = False
+    scaling_dim: bool = False
+    sampling_timesteps: tp.Optional[int] = None
+    timesteps: int = 1000
+
+    def setup(self):
+        if self.model_type == "unet":
+            self.diff_model = Unet1D(
+                dim=self.diff_dims,
+                dim_mults=(1, 2, 2, 4, 4),
+                inp_channels=1,
+                self_condition=self.self_condition,
+                qtz_condition=self.qtz_condition,
+                other_cond=self.other_cond,
+                use_film=self.use_film,
+                cond_global=self.cond_global,
+                cond_channels=self.cond_channels,
+                upsampling_ratios=tuple(self.upsampling_ratios)
+                if self.upsampling_ratios is not None
+                else None,
+                unet_scale_x=self.unet_scale_x,
+                unet_scale_cond=self.unet_scale_cond,
+            )
+        elif self.model_type == "transformer":
+            from .transformer import TransformerDDPM
+
+            self.diff_model = TransformerDDPM(
+                rep_dims=self.rep_dims,
+                emb_dims=self.emb_dims,
+                mlp_dims=self.diff_dims,
+                num_layers=6,
+                num_heads=8,
+                num_mlp_layers=2,
+                self_condition=self.self_condition,
+                qtz_condition=self.qtz_condition,
+            )
+        else:
+            raise ValueError(f"Model type undefined: {self.model_type!r}")
+
+    @property
+    def diffusion(self) -> GaussianDiffusion1D:
+        return GaussianDiffusion1D(
+            schedule=make_schedule(self.timesteps),
+            sampling_timesteps=self.sampling_timesteps,
+            self_condition=self.self_condition,
+        )
+
+    def __call__(self, x, key=None, t=None, cond=None, training: bool = False):
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        model_fn = lambda xx, tt, cc: self.diff_model(xx, tt, cc)
+        diff_loss, pred_x_start, x_t, t_out = self.diffusion(model_fn, x, key, cond=cond, t=t)
+        neg_loss = jnp.mean(sdr_loss(x, jax.lax.stop_gradient(pred_x_start)))
+        return {"diff_loss": diff_loss, "neg_loss": neg_loss}, dict(
+            predicted_x_start=pred_x_start, x_t=x_t, t=t_out
+        )

@@ -178,6 +178,10 @@ def rvq_forward(
     `axis_name` when set.
     """
     B, T, dim = x.shape
+    assert 1 <= n_q <= state.n_q, (
+        f"requested n_q={n_q} but codebook state holds {state.n_q} stages "
+        "(bandwidth policy selected more quantizers than were constructed)"
+    )
     flat = x.reshape(-1, dim)
     N = flat.shape[0]
     bins = state.bins

@@ -1,0 +1,94 @@
+"""DiffAudioRep composite contracts (reference srcs/model.py)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ladiffcodec_tpu.models.diff_rep import DiffAudioRep, GLOBAL_SCALE
+
+SMALL = dict(rep_dims=16, diff_dims=16, n_filters=4, lstm=0)
+
+
+def test_continuous_ae_loss_contract():
+    m = DiffAudioRep(enc_ratios=(8, 4), **SMALL)
+    x = jnp.ones((1, 320, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(0), x)
+    losses, aux = m.apply(v, x)
+    assert list(losses.keys()) == ["neg_sdr"]
+    assert aux["x_hat"].shape == x.shape
+
+
+def test_quantized_codec_loss_contract_and_nq():
+    m = DiffAudioRep(enc_ratios=(8, 5, 4, 2), quantization=True, bandwidth=1.5, **SMALL)
+    assert m.frame_rate == 50.0
+    assert m.n_q == 3  # 1.5 kbps -> 3 codebooks (model.py:64-66)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 640, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(0), x)
+    losses, aux = m.apply(v, x)
+    assert list(losses.keys()) == ["tot_loss", "qtz_loss", "neg_sdr"]
+    assert aux["x_rep_qtz"].shape == (1, 2, 16)
+
+    codes = m.apply(v, x, method="encode_codes")
+    assert codes.shape == (3, 1, 2)
+    y = m.apply(v, codes, method="decode_codes")
+    assert y.shape == x.shape
+
+
+def test_quantizer_state_updates_in_training():
+    m = DiffAudioRep(enc_ratios=(8, 5, 4, 2), quantization=True, bandwidth=1.5,
+                     rvq_kmeans_init=False, **SMALL)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 1280, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(0), x)
+    (_, _), upd = m.apply(
+        v, x, key=jax.random.PRNGKey(2), training=True, mutable=["quantizer"]
+    )
+    s0 = v["quantizer"]["state"]
+    s1 = upd["quantizer"]["state"]
+    assert not np.allclose(np.asarray(s0.cluster_size), np.asarray(s1.cluster_size))
+
+
+def test_diffusion_model_contract():
+    m = DiffAudioRep(
+        enc_ratios=(8,),
+        run_diff=True,
+        model_type="unet",
+        scaling_global=True,
+        other_cond=True,
+        cond_channels=16,
+        upsampling_ratios=(4,),
+        unet_scale_cond=True,
+        **SMALL,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 1)) * 0.1
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16))  # hop-32 codec latent
+    v = m.init(jax.random.PRNGKey(0), x, cond=cond)
+    losses, aux = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond)
+    assert list(losses.keys()) == ["diff_loss", "neg_loss"]
+    assert aux["x_hat"].shape == x.shape
+    assert aux["predicted_x_start"].shape == (1, 32, 16)
+    # global scaling divides by the hardcoded 18.0
+    assert float(aux["scale"]) == GLOBAL_SCALE
+
+
+def test_get_cond_stop_gradient():
+    m = DiffAudioRep(enc_ratios=(8, 5, 4, 2), quantization=True, bandwidth=1.5,
+                     rvq_kmeans_init=False, **SMALL)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 640, 1))
+    v = m.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(
+        lambda xx: jnp.sum(m.apply(v, xx, method="get_cond"))
+    )(x)
+    np.testing.assert_array_equal(np.asarray(g), 0.0)
+
+
+def test_scaling_modes():
+    for mode in ["scaling_frame", "scaling_feature", "scaling_global", "scaling_dim"]:
+        m = DiffAudioRep(enc_ratios=(8,), **{mode: True}, **SMALL)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 12, 6)) * 5
+        bound = m.bind({"params": {}})
+        y, scale = bound.scaling(x, global_max=GLOBAL_SCALE)
+        if mode == "scaling_global":
+            np.testing.assert_allclose(np.asarray(y), np.asarray(x) / GLOBAL_SCALE, rtol=1e-6)
+        else:
+            assert float(jnp.max(jnp.abs(y))) <= 1.0 + 1e-5
