@@ -1,0 +1,106 @@
+"""Benchmark: audio-seconds/second/chip (RTF) for encode + 50-step DDIM
+decode at 1.5 kbps — the BASELINE.json headline metric.
+
+The measured pipeline is the full production decode path of
+`ladiffcodec_tpu.sample`: waveform -> hop-320 codec encoder -> RVQ @1.5 kbps
+-> dequantize -> transposed-conv upsample to the hop-8 grid -> 50-step
+truncated DDIM from the upsampled condition -> hop-8 continuous decoder ->
+waveform.  Weights are randomly initialized (the reference repo publishes no
+benchmark numbers to compare quality against — BASELINE.md); throughput is
+architecture + compiler bound, not weight bound.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is RTF / 100 (the >=100x real-time north star from
+BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main() -> None:
+    from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
+
+    SR = 16000
+    SECONDS = 2.4  # reference training clip length (seq_len 1200 at hop 32... here hop 8)
+    BATCH = 4
+    STEPS = 50  # "50-step DDIM decode"
+    L = int(SECONDS * SR) // 640 * 640
+
+    dtype = jnp.bfloat16
+
+    model = DiffAudioRep(
+        rep_dims=128,
+        diff_dims=128,
+        n_filters=32,
+        lstm=0,
+        enc_ratios=(8,),
+        run_diff=True,
+        model_type="unet",
+        scaling_global=True,
+        other_cond=True,
+        cond_channels=128,
+        upsampling_ratios=(5, 4, 2),
+        unet_scale_cond=True,
+    )
+    cond_model = DiffAudioRep(
+        rep_dims=128,
+        n_filters=32,
+        lstm=2,
+        enc_ratios=(8, 5, 4, 2),
+        quantization=True,
+        bandwidth=1.5,
+        rvq_kmeans_init=False,
+    )
+
+    x = jnp.asarray(np.random.RandomState(0).randn(BATCH, L, 1).astype(np.float32) * 0.1)
+    cond_vars = cond_model.init(jax.random.PRNGKey(1), x)
+    cond = cond_model.apply(cond_vars, x, method="get_cond")
+    variables = model.init(jax.random.PRNGKey(2), x, cond=cond)
+
+    diffusion = model.diffusion
+
+    @jax.jit
+    def decode(variables, cond_vars, wav, key):
+        c = cond_model.apply(cond_vars, wav, method="get_cond")
+        raw = model.apply(variables, c, method=lambda m, cc: m.diff_model.cond_upsampler(cc))
+        B = raw.shape[0]
+        img = raw / (jnp.max(jnp.abs(raw.reshape(B, -1)), 1)[:, None, None] + 1e-8)
+
+        def model_fn(xx, tt, cc):
+            return model.apply(variables, xx, tt, cc, True, method="diff_model_fn")
+
+        sample = diffusion.ddim_from(model_fn, img, 100, STEPS, key, img)
+        return model.apply(variables, sample, method="decode")
+
+    key = jax.random.PRNGKey(0)
+    # compile
+    y = decode(variables, cond_vars, x, key)
+    jax.block_until_ready(y)
+
+    # measure
+    iters = 10
+    t0 = time.perf_counter()
+    for i in range(iters):
+        y = decode(variables, cond_vars, x, jax.random.fold_in(key, i))
+    jax.block_until_ready(y)
+    dt = time.perf_counter() - t0
+
+    audio_seconds = BATCH * SECONDS * iters
+    rtf = audio_seconds / dt
+    print(json.dumps({
+        "metric": "audio-sec/sec/chip (RTF), encode + 50-step DDIM decode @1.5kbps",
+        "value": round(rtf, 2),
+        "unit": "x realtime",
+        "vs_baseline": round(rtf / 100.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

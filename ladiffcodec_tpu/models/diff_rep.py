@@ -333,6 +333,28 @@ class DiffAudioRep(nn.Module):
         aux: tp.Dict[str, tp.Any] = {}
         if self.run_diff:
             x_rep_s, scale = self.scaling(x_rep, global_max=GLOBAL_SCALE)
+            if self.model_type == "unet2d":
+                # labml DenoiseDiffusion path (reference model.py:168-172)
+                from ..diffusion.lab import DenoiseDiffusion
+
+                lab = DenoiseDiffusion.create(self.timesteps)
+                eps_model = lambda xx, tt: self.diff_model(xx, tt)
+                diff_loss, pred_x_start, noise, eps_theta, x_t, t_out = lab.loss(
+                    eps_model, x_rep_s, key_d, t=t
+                )
+                pred_x_start = jax.lax.stop_gradient(pred_x_start)
+                in_dec = pred_x_start * scale if scale is not None else pred_x_start
+                x_hat = self.decoder(in_dec)
+                neg_loss = jnp.mean(sdr_loss(x, x_hat))
+                return {"diff_loss": diff_loss, "neg_loss": neg_loss}, dict(
+                    x_hat=x_hat,
+                    x_rep=x_rep_s,
+                    predicted_x_start=pred_x_start,
+                    x_t=x_t,
+                    t=t_out,
+                    x_rep_qtz=x_rep_qtz,
+                    scale=scale,
+                )
             diffusion = self.diffusion
             model_fn = lambda xx, tt, cc: self.diff_model_fn(xx, tt, cc)
             if cond is not None:

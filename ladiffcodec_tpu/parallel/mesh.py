@@ -1,0 +1,48 @@
+"""Device mesh helpers.
+
+The reference's only parallelism is data parallelism over NCCL
+(SURVEY.md §2.8).  Here DP rides ICI via `shard_map` over a 1-D mesh; the
+axis layout leaves room for a 2-level ('dcn', 'dp') mesh for multi-slice
+scale-out: collectives inside a slice ride ICI, the optional outer axis DCN.
+"""
+
+from __future__ import annotations
+
+import typing as tp
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+DP_AXIS = "dp"
+DCN_AXIS = "dcn"
+
+
+def make_mesh(
+    n_devices: tp.Optional[int] = None,
+    devices: tp.Optional[tp.Sequence[jax.Device]] = None,
+    dcn_slices: int = 1,
+) -> Mesh:
+    """1-D data-parallel mesh, or ('dcn', 'dp') when dcn_slices > 1."""
+    devices = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    if dcn_slices > 1:
+        assert len(devices) % dcn_slices == 0
+        arr = np.array(devices).reshape(dcn_slices, -1)
+        return Mesh(arr, (DCN_AXIS, DP_AXIS))
+    return Mesh(np.array(devices), (DP_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharded(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P(DP_AXIS))
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host numpy batch with its leading axis split over dp."""
+    return jax.device_put(batch, batch_sharded(mesh))

@@ -1,0 +1,211 @@
+"""Batch inference CLI (`python -m ladiffcodec_tpu.sample`; reference
+srcs/sample.py): walk input_dir/**/*.wav, encode with the conditioning codec,
+de-quantize with `halfway_sampling` (100 ancestral steps from the upsampled
+condition — sample.py:69,130), decode, normalize, write 16 kHz wavs.
+
+TPU notes:
+  * the whole decode path (cond upsampling + 100-step scan + decoder) is one
+    jitted function, compiled once per padded length bucket (lengths are
+    rounded up to a multiple of `--bucket_s` seconds, so arbitrary-length
+    files hit a handful of compilations instead of one each);
+  * the condition is processed ONCE, not once per denoise step;
+  * `--sampler ddim --sampling_timesteps K` exposes the K-step truncated DDIM
+    fast path (the "50-step DDIM decode" of BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import typing as tp
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models.diff_rep import DiffAudioRep, DiffAudioTime
+from .data.audio_io import read_wav, write_wav, resample
+from .utils.checkpoint import load_checkpoint_path
+from .train import build_cond_model
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="ladiffcodec_tpu sampler")
+    parser.add_argument("--data_folder_path", type=str, default="")
+    parser.add_argument("--n_spks", type=int, default=500)
+    parser.add_argument("--seq_len_in_sec", type=float, default=1.8)
+    parser.add_argument("--sample_rate", type=int, default=16000)
+    parser.add_argument("--model_path", type=str, default="")
+    parser.add_argument("--qtzer_path", type=str, default="")
+    parser.add_argument("--note", type=str, default="")
+    parser.add_argument("--rep_dims", type=int, default=128)
+    parser.add_argument("--emb_dims", type=int, default=128)
+    parser.add_argument("--quantization", action="store_true")
+    parser.add_argument("--bandwidth", type=float, default=3.0)
+    parser.add_argument("--n_filters", type=int, default=32)
+    parser.add_argument("--lstm", type=int, default=2)
+    parser.add_argument("--n_residual_layers", type=int, default=1)
+    parser.add_argument("--enc_ratios", nargs="+", type=int, default=[8])
+    parser.add_argument("--final_activation", type=str, default=None)
+    parser.add_argument("--run_diff", action="store_true")
+    parser.add_argument("--run_vae", action="store_true")
+    parser.add_argument("--train_time_diff", action="store_true")
+    parser.add_argument("--diff_dims", type=int, default=256)
+    parser.add_argument("--qtz_condition", action="store_true")
+    parser.add_argument("--self_condition", action="store_true")
+    parser.add_argument("--seq_length", type=int, default=16000)
+    parser.add_argument("--model_type", type=str, default="unet")
+    parser.add_argument("--scaling_frame", action="store_true")
+    parser.add_argument("--scaling_feature", action="store_true")
+    parser.add_argument("--scaling_global", action="store_true")
+    parser.add_argument("--scaling_dim", action="store_true")
+    parser.add_argument("--sampling_timesteps", type=int, default=1000)
+    parser.add_argument("--use_film", action="store_true")
+    parser.add_argument("--model_for_cond", type=str, default="")
+    parser.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 4, 2])
+    parser.add_argument("--cond_enc_ratios", nargs="+", type=int, default=[8, 5, 4, 2])
+    parser.add_argument("--cond_bandwidth", type=float, default=3.0)
+    parser.add_argument("--cond_global", type=float, default=3.0)
+    parser.add_argument("--unet_scale_cond", action="store_true")
+    parser.add_argument("--unet_scale_x", action="store_true")
+    parser.add_argument("--input_dir", type=str, default="")
+    parser.add_argument("--output_dir", type=str, default="outputs/")
+    # TPU-native extras
+    parser.add_argument("--midway_t", type=int, default=100)
+    parser.add_argument("--sampler", type=str, default="halfway", choices=["halfway", "ddim"])
+    parser.add_argument("--bucket_s", type=float, default=0.0,
+                        help="pad files up to multiples of this many seconds "
+                             "to bound recompilation (0 = exact lengths)")
+    return parser
+
+
+def build_main_model(inp_args) -> DiffAudioRep:
+    other_cond = bool(inp_args.model_for_cond)
+    cls = DiffAudioTime if inp_args.train_time_diff else DiffAudioRep
+    kwargs = dict(
+        rep_dims=inp_args.rep_dims,
+        emb_dims=inp_args.emb_dims,
+        diff_dims=inp_args.diff_dims,
+        self_condition=inp_args.self_condition,
+        qtz_condition=inp_args.qtz_condition,
+        other_cond=other_cond,
+        seq_length=inp_args.seq_length,
+        model_type=inp_args.model_type,
+        scaling_frame=inp_args.scaling_frame,
+        scaling_feature=inp_args.scaling_feature,
+        scaling_global=inp_args.scaling_global,
+        scaling_dim=inp_args.scaling_dim,
+        use_film=inp_args.use_film,
+        cond_global=inp_args.cond_global,
+        cond_channels=inp_args.rep_dims,
+        upsampling_ratios=tuple(inp_args.upsampling_ratios) if inp_args.upsampling_ratios else None,
+        unet_scale_x=inp_args.unet_scale_x,
+        unet_scale_cond=inp_args.unet_scale_cond,
+        sampling_timesteps=inp_args.sampling_timesteps,
+    )
+    if inp_args.train_time_diff:
+        return DiffAudioTime(**{k: v for k, v in kwargs.items() if k in DiffAudioTime.__dataclass_fields__})
+    return DiffAudioRep(
+        n_residual_layers=inp_args.n_residual_layers,
+        n_filters=inp_args.n_filters,
+        lstm=inp_args.lstm,
+        quantization=inp_args.quantization,
+        bandwidth=inp_args.bandwidth,
+        enc_ratios=tuple(inp_args.enc_ratios),
+        run_diff=inp_args.run_diff,
+        run_vae=inp_args.run_vae,
+        final_activation=inp_args.final_activation,
+        **kwargs,
+    )
+
+
+def make_decode_fn(model, variables, cond_model, cond_vars, inp_args):
+    """One jitted function: wav -> cond codec -> diffusion decode -> wav."""
+
+    @partial(jax.jit, static_argnums=(2,))
+    def decode(wav: jnp.ndarray, key: jax.Array, midway_t: int):
+        cond = cond_model.apply(cond_vars, wav, method="get_cond")
+        # upsample through the cond stack, then flat max-abs normalize
+        # (reference sample.py:125-129)
+        raw = model.apply(
+            variables, cond, method=lambda m, c: m.diff_model.cond_upsampler(c)
+        )
+        img = raw / (jnp.max(jnp.abs(raw)) + 1e-8)
+        cond_p = img if inp_args.unet_scale_cond else raw
+        diffusion = model.diffusion
+
+        def model_fn(x, t, c):
+            return model.apply(variables, x, t, c, True, method="diff_model_fn")
+
+        if inp_args.sampler == "ddim":
+            sample = diffusion.ddim_from(
+                model_fn, img, midway_t, inp_args.sampling_timesteps, key, cond_p
+            )
+        else:
+            sample = diffusion.halfway_sampling(model_fn, img, midway_t, key, cond_p)
+        x_hat = model.apply(variables, sample, method="decode")
+        x_hat = x_hat / (jnp.std(x_hat.flatten()) + 1e-8)
+        x_hat = x_hat / (jnp.max(jnp.abs(x_hat.flatten())) + 1e-8)
+        return x_hat
+
+    return decode
+
+
+def synthesis(inp_args) -> None:
+    model = build_main_model(inp_args)
+    L0 = (int(inp_args.seq_len_in_sec * 16000) // 640) * 640
+    example = jnp.zeros((1, max(L0, 640), 1))
+
+    cond_model = build_cond_model(inp_args, quantization=True)
+    cond_vars = cond_model.init(jax.random.PRNGKey(1), example)
+    if inp_args.model_for_cond:
+        cond_vars = load_checkpoint_path(cond_vars, inp_args.model_for_cond)
+    example_cond = cond_model.apply(cond_vars, example, method="get_cond")
+
+    variables = model.init(jax.random.PRNGKey(0), example, cond=example_cond)
+    if inp_args.model_path:
+        from .training import TrainState  # checkpoints store full TrainState
+
+        try:
+            variables = load_checkpoint_path(variables, inp_args.model_path)
+        except Exception:
+            state = load_checkpoint_path(None, inp_args.model_path)
+            variables = {"params": state["params"]}
+            if state.get("quantizer"):
+                variables["quantizer"] = state["quantizer"]
+
+    decode = make_decode_fn(model, variables, cond_model, cond_vars, inp_args)
+
+    key = jax.random.PRNGKey(1234)
+    files = sorted(glob.glob(os.path.join(inp_args.input_dir, "**/*.wav"), recursive=True))
+    for wav_file in files:
+        local = wav_file[len(inp_args.input_dir):][: -4]
+        save_path = inp_args.output_dir + local
+        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+
+        audio, sr = read_wav(wav_file)
+        audio = resample(audio, sr, 16000)
+        length = audio.shape[-1] // 640 * 640
+        if inp_args.bucket_s > 0:
+            bucket = int(inp_args.bucket_s * 16000) // 640 * 640
+            padded = ((length + bucket - 1) // bucket) * bucket
+        else:
+            padded = length
+        x = np.zeros((1, padded, 1), np.float32)
+        x[0, :length, 0] = audio[0, :length]
+
+        key, sub = jax.random.split(key)
+        y = decode(jnp.asarray(x), sub, inp_args.midway_t)
+        y = np.asarray(y)[0, :length, 0]
+        write_wav(save_path + ".wav", y, 16000)
+        print(f"{wav_file} -> {save_path}.wav")
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    synthesis(get_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

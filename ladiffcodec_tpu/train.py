@@ -1,0 +1,332 @@
+"""Training CLI — single entry for all three LaDiffCodec stages, selected by
+flags exactly as the reference (`python -m ladiffcodec_tpu.train`; reference
+srcs/train.py:229-419 and README.md:41-63):
+
+  stage 1 (discrete codec, GAN):   --quantization --use_disc --bandwidth ...
+  stage 2 (continuous AE):         (no flags: plain neg-SDR autoencoder)
+  stage 3 (latent diffusion):      --run_diff --model_type unet
+                                   --scaling_global --model_for_cond ...
+
+Differences by design: the whole optimization step (fwd+bwd+Adam+RVQ EMA) is
+ONE jitted program, data-parallel over a `shard_map` mesh when more than one
+device is visible; checkpoints carry optimizer state (true resume); k-means
+codebook init runs explicitly on the first batch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .models.diff_rep import DiffAudioRep, DiffAudioTime
+from .models.msstftd import MultiScaleSTFTDiscriminator
+from .data.librispeech import DatasetLibri, BatchLoader
+from .parallel.mesh import make_mesh, DP_AXIS
+from .training import (
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    make_gan_train_step,
+    shard_map_step,
+)
+from .utils.checkpoint import save_checkpoint, load_checkpoint_path
+from .utils.logging import log_params, logging_step
+import optax
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="ladiffcodec_tpu trainer")
+    # Data related (reference train.py:232-236)
+    parser.add_argument("--output_dir", type=str, default="saved_models")
+    parser.add_argument("--data_folder_path", type=str, default="/data/librispeech")
+    parser.add_argument("--seq_len_p_sec", type=float, default=1.0)
+    parser.add_argument("--sample_rate", type=int, default=16000)
+    # Training (239-248)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--lr", type=float, default=5e-4)
+    parser.add_argument("--batch_size", type=int, default=5)
+    parser.add_argument("--exp_name", type=str, default="")
+    parser.add_argument("--finetune_model", type=str, default="")
+    parser.add_argument("--write_on_every", type=int, default=50)
+    parser.add_argument("--model_type", type=str, default="transformer")
+    parser.add_argument("--freeze_ed", action="store_true")
+    parser.add_argument("--train_time_diff", action="store_true")
+    # Encoder and decoder (251-259)
+    parser.add_argument("--rep_dims", type=int, default=128)
+    parser.add_argument("--emb_dims", type=int, default=128)
+    parser.add_argument("--quantization", action="store_true")
+    parser.add_argument("--bandwidth", type=float, default=3.0)
+    parser.add_argument("--n_filters", type=int, default=32)
+    parser.add_argument("--lstm", type=int, default=2)
+    parser.add_argument("--n_residual_layers", type=int, default=1)
+    parser.add_argument("--enc_ratios", nargs="+", type=int)
+    parser.add_argument("--final_activation", type=str, default=None)
+    # Diff model (262-274)
+    parser.add_argument("--diff_dims", type=int, default=128)
+    parser.add_argument("--qtz_condition", action="store_true")
+    parser.add_argument("--self_condition", action="store_true")
+    parser.add_argument("--seq_length", type=int, default=800)
+    parser.add_argument("--run_diff", action="store_true")
+    parser.add_argument("--run_vae", action="store_true")
+    parser.add_argument("--scaling_frame", action="store_true")
+    parser.add_argument("--scaling_feature", action="store_true")
+    parser.add_argument("--scaling_global", action="store_true")
+    parser.add_argument("--scaling_dim", action="store_true")
+    parser.add_argument("--use_film", action="store_true")
+    parser.add_argument("--unet_scale_cond", action="store_true")
+    parser.add_argument("--unet_scale_x", action="store_true")
+    # Cond model (278-283)
+    parser.add_argument("--model_for_cond", type=str, default="")
+    parser.add_argument("--cond_enc_ratios", nargs="+", type=int)
+    parser.add_argument("--upsampling_ratios", nargs="+", type=int)
+    parser.add_argument("--cond_quantization", action="store_true")
+    parser.add_argument("--cond_bandwidth", type=float, default=3.0)
+    parser.add_argument("--cond_global", type=float, default=3.0)
+    # Disc (286-287)
+    parser.add_argument("--use_disc", action="store_true")
+    parser.add_argument("--disc_freq", type=int, default=1)
+    # TPU-native extras
+    parser.add_argument("--steps", type=int, default=50000)
+    parser.add_argument("--dp_devices", type=int, default=0, help="0 = all visible")
+    parser.add_argument("--melspec_compat", action="store_true",
+                        help="reproduce the reference's single-scale melspec-loss bug")
+    return parser
+
+
+def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioTime]:
+    common = dict(
+        rep_dims=inp_args.rep_dims,
+        emb_dims=inp_args.emb_dims,
+        diff_dims=inp_args.diff_dims,
+        self_condition=inp_args.self_condition,
+        qtz_condition=inp_args.qtz_condition,
+        other_cond=other_cond,
+        seq_length=inp_args.seq_length,
+        model_type=inp_args.model_type,
+        scaling_frame=inp_args.scaling_frame,
+        scaling_feature=inp_args.scaling_feature,
+        scaling_global=inp_args.scaling_global,
+        scaling_dim=inp_args.scaling_dim,
+        use_film=inp_args.use_film,
+        cond_global=inp_args.cond_global,
+        upsampling_ratios=tuple(inp_args.upsampling_ratios) if inp_args.upsampling_ratios else None,
+        unet_scale_x=inp_args.unet_scale_x,
+        unet_scale_cond=inp_args.unet_scale_cond,
+    )
+    if inp_args.train_time_diff:
+        return DiffAudioTime(**common)
+    return DiffAudioRep(
+        norm="weight_norm",
+        causal=True,
+        dilation_base=2,
+        n_residual_layers=inp_args.n_residual_layers,
+        n_filters=inp_args.n_filters,
+        lstm=inp_args.lstm,
+        quantization=inp_args.quantization,
+        bandwidth=inp_args.bandwidth,
+        sample_rate=inp_args.sample_rate,
+        enc_ratios=tuple(inp_args.enc_ratios) if inp_args.enc_ratios else (8, 5, 4, 2),
+        run_diff=inp_args.run_diff,
+        run_vae=inp_args.run_vae,
+        freeze_ed=inp_args.freeze_ed,
+        final_activation=inp_args.final_activation,
+        **common,
+    )
+
+
+def build_cond_model(inp_args, quantization: tp.Optional[bool] = None) -> DiffAudioRep:
+    """The frozen conditioning codec (reference train.py:353-359)."""
+    return DiffAudioRep(
+        rep_dims=inp_args.rep_dims,
+        emb_dims=inp_args.emb_dims,
+        n_residual_layers=inp_args.n_residual_layers,
+        n_filters=inp_args.n_filters,
+        lstm=inp_args.lstm,
+        quantization=inp_args.cond_quantization if quantization is None else quantization,
+        bandwidth=inp_args.cond_bandwidth,
+        enc_ratios=tuple(inp_args.cond_enc_ratios) if inp_args.cond_enc_ratios else (8, 5, 4, 2),
+        final_activation=inp_args.final_activation,
+    )
+
+
+def run_eval_epoch(eval_step, state, loader, cond_vars, key):
+    tot: tp.Dict[str, float] = {}
+    n = 0
+    for batch in loader:
+        key, sub = jax.random.split(key)
+        losses = eval_step(state, jnp.asarray(batch), sub)
+        for k, v in losses.items():
+            tot[k] = tot.get(k, 0.0) + float(v)
+        n += 1
+        if n >= 8:  # bounded eval pass
+            break
+    return {k: v / max(n, 1) for k, v in tot.items()}
+
+
+def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    inp_args = get_parser().parse_args(argv)
+    assert not (inp_args.self_condition and inp_args.qtz_condition)
+
+    if not inp_args.debug and inp_args.exp_name:
+        log_params(vars(inp_args), inp_args.exp_name)
+
+    if inp_args.dp_devices:
+        n_dev = inp_args.dp_devices
+    else:
+        # largest visible device count that divides the batch
+        n_dev = max(
+            d for d in range(1, len(jax.devices()) + 1) if inp_args.batch_size % d == 0
+        )
+    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    axis_name = DP_AXIS if mesh else None
+    assert inp_args.batch_size % (n_dev if mesh else 1) == 0, "batch must divide dp devices"
+
+    train_ds = DatasetLibri("train", inp_args.seq_len_p_sec, inp_args.data_folder_path,
+                            inp_args.sample_rate)
+    valid_ds = DatasetLibri("valid", inp_args.seq_len_p_sec, inp_args.data_folder_path,
+                            inp_args.sample_rate)
+    train_loader = BatchLoader(train_ds, inp_args.batch_size)
+    valid_loader = BatchLoader(valid_ds, inp_args.batch_size, shuffle=False)
+
+    other_cond = bool(inp_args.model_for_cond)
+    model = build_model(inp_args, other_cond)
+
+    key = jax.random.PRNGKey(0)
+    example = jnp.zeros((inp_args.batch_size, int(inp_args.seq_len_p_sec * inp_args.sample_rate), 1))
+
+    cond_model = cond_vars = None
+    example_cond = None
+    if other_cond:
+        cond_model = build_cond_model(inp_args)
+        cond_vars = cond_model.init(jax.random.PRNGKey(1), example)
+        cond_vars = load_checkpoint_path(cond_vars, inp_args.model_for_cond + "/model_best")
+        example_cond = cond_model.apply(cond_vars, example, method="get_cond")
+
+    variables = model.init(key, example, cond=example_cond)
+    params = variables["params"]
+    quantizer = variables.get("quantizer", {})
+
+    optimizer = make_optimizer(inp_args.lr, freeze_ed=inp_args.run_diff and inp_args.freeze_ed)
+    state = TrainState(
+        step=jnp.asarray(0), params=params, quantizer=quantizer,
+        opt_state=optimizer.init(params),
+    )
+
+    disc = None
+    disc_optimizer = None
+    if inp_args.use_disc:
+        disc = MultiScaleSTFTDiscriminator(filters=32)
+        disc_vars = disc.init(jax.random.PRNGKey(2), example)
+        disc_optimizer = optax.adam(3e-4, b1=0.5, b2=0.9)
+        state = state.replace(
+            disc_params=disc_vars["params"],
+            disc_opt_state=disc_optimizer.init(disc_vars["params"]),
+        )
+
+    if inp_args.finetune_model:
+        state = load_checkpoint_path(state, inp_args.finetune_model)
+
+    # k-means codebook init on the first batch (reference: lazy init inside
+    # the first forward, core_vq.py:139-150)
+    if inp_args.quantization and int(np.asarray(state.step)) == 0:
+        first = jnp.asarray(next(iter(train_loader)))
+        _, upd = model.apply(
+            {"params": state.params, "quantizer": state.quantizer},
+            first, jax.random.PRNGKey(3), method="kmeans_init", mutable=["quantizer"],
+        )
+        state = state.replace(quantizer=upd["quantizer"])
+
+    # ---- build jitted steps ----
+    if inp_args.use_disc:
+        gen_step, disc_step = make_gan_train_step(
+            model, disc, optimizer, disc_optimizer, axis_name=axis_name,
+            melspec_compat=inp_args.melspec_compat,
+        )
+        if mesh:
+            from jax.sharding import PartitionSpec as P
+            gen_step = jax.jit(jax.shard_map(
+                gen_step, mesh=mesh, in_specs=(P(), P(DP_AXIS), P()),
+                out_specs=(P(), P(), P(DP_AXIS)), check_vma=False))
+            disc_step = jax.jit(jax.shard_map(
+                disc_step, mesh=mesh, in_specs=(P(), P(DP_AXIS), P(DP_AXIS)),
+                out_specs=(P(), P()), check_vma=False))
+        else:
+            gen_step = jax.jit(gen_step)
+            disc_step = jax.jit(disc_step)
+    else:
+        step_fn = make_train_step(model, optimizer, cond_model, cond_vars, axis_name=axis_name)
+        if mesh:
+            train_step = shard_map_step(step_fn, mesh)
+        else:
+            train_step = jax.jit(step_fn)
+
+    def eval_losses(state, batch, key):
+        cond = None
+        if cond_model is not None:
+            cond = cond_model.apply(cond_vars, batch, method="get_cond")
+        variables = (
+            {"params": state.params, "quantizer": state.quantizer}
+            if state.quantizer
+            else {"params": state.params}
+        )
+        (losses, _), _ = model.apply(variables, batch, key=key, cond=cond, training=False,
+                                     mutable=["quantizer"])
+        return losses
+
+    eval_step = jax.jit(eval_losses)
+
+    best_loss = float("inf")
+    write_on_every = 5 if not inp_args.debug else 1
+    rng = jax.random.PRNGKey(42)
+
+    for step_i in range(inp_args.steps):
+        if step_i == 0:
+            print("Starts training ...")
+        train_loader.set_epoch(step_i)
+        t0 = time.time()
+        tot: tp.Dict[str, float] = {}
+        n = 0
+        for batch in train_loader:
+            rng, sub = jax.random.split(rng)
+            batch = jnp.asarray(batch)
+            if inp_args.use_disc:
+                state, metrics, x_hat = gen_step(state, batch, sub)
+                if n % inp_args.disc_freq == 0:
+                    state, l_d = disc_step(state, batch, x_hat)
+                    metrics = dict(metrics, l_d=l_d)
+            else:
+                state, metrics = train_step(state, batch, sub)
+            for k, v in metrics.items():
+                tot[k] = tot.get(k, 0.0) + float(v)
+            n += 1
+            if inp_args.debug:
+                break
+        tr_losses = {k: v / max(n, 1) for k, v in tot.items()}
+
+        if step_i % write_on_every == 0:
+            rng, sub = jax.random.split(rng)
+            val_losses = run_eval_epoch(
+                lambda s, b, k: eval_step(s, b, k), state, valid_loader, cond_vars, sub
+            )
+            duration = time.time() - t0
+            vall = list(val_losses.values())[-1]
+            if inp_args.debug:
+                print([float(v) for v in val_losses.values()])
+            else:
+                if vall < best_loss:
+                    best_loss = vall
+                    save_checkpoint(state, inp_args.output_dir, inp_args.exp_name, note="best")
+                if step_i % 100 == 0 and step_i > 0:
+                    save_checkpoint(state, inp_args.output_dir, inp_args.exp_name, note=str(step_i))
+                logging_step(step_i, tr_losses, val_losses, duration, inp_args.exp_name, best_loss)
+        if inp_args.debug and step_i >= 1:
+            break
+
+
+if __name__ == "__main__":
+    main()

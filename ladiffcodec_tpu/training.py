@@ -1,0 +1,190 @@
+"""Jitted training steps: single-loss, GAN (generator+discriminator), and
+their data-parallel `shard_map` variants.
+
+Replaces the reference's `run_model` inner loop (srcs/train.py:110-177) and
+the dead DDP block (train.py:298-320): gradients are `pmean`-reduced over the
+mesh axis inside one compiled step — no NCCL, no DDP wrapper, no param-count
+deadlock guard (collective order is fixed by the program).
+"""
+
+from __future__ import annotations
+
+import typing as tp
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, PartitionSpec as P
+
+from .models.diff_rep import DiffAudioRep
+from .models.msstftd import MultiScaleSTFTDiscriminator
+from .losses.gan import gen_loss, disc_loss
+from .losses.losses_fn import melspec_loss_fn
+from .parallel.mesh import DP_AXIS
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    params: tp.Any
+    quantizer: tp.Any  # RVQ collection ({} when not quantized)
+    opt_state: tp.Any
+    disc_params: tp.Any = None
+    disc_opt_state: tp.Any = None
+    ema_params: tp.Any = None
+
+
+def make_optimizer(lr: float, freeze_ed: bool = False) -> optax.GradientTransformation:
+    """Adam(lr); with freeze_ed only diffusion-model params update
+    (reference train.py:363-372 optimizes model.diffusion only)."""
+    tx = optax.adam(lr)
+    if freeze_ed:
+        def mask(params):
+            return jax.tree_util.tree_map_with_path(
+                lambda path, _: any(
+                    getattr(k, "key", None) == "diff_model" for k in path
+                ),
+                params,
+            )
+        tx = optax.masked(tx, mask)
+    return tx
+
+
+def _first(d: tp.Mapping[str, jnp.ndarray]) -> jnp.ndarray:
+    return next(iter(d.values()))
+
+
+def make_train_step(
+    model: DiffAudioRep,
+    optimizer: optax.GradientTransformation,
+    cond_model: tp.Optional[DiffAudioRep] = None,
+    cond_variables: tp.Optional[tp.Any] = None,
+    axis_name: tp.Optional[str] = None,
+    ema_decay: tp.Optional[float] = None,
+):
+    """Single-objective step (stages 2-3: continuous AE / diffusion).
+
+    Returns step(state, batch, key) -> (state, metrics dict).
+    """
+
+    def loss_fn(params, quantizer, x, key, cond):
+        variables = {"params": params, "quantizer": quantizer} if quantizer else {"params": params}
+        out, updates = model.apply(
+            variables,
+            x,
+            key=key,
+            cond=cond,
+            training=True,
+            axis_name=axis_name,
+            mutable=["quantizer"],
+        )
+        losses, aux = out
+        return _first(losses), (losses, updates.get("quantizer", quantizer))
+
+    def step(state: TrainState, batch: jnp.ndarray, key: jax.Array):
+        cond = None
+        if cond_model is not None:
+            cond = cond_model.apply(cond_variables, batch, method="get_cond")
+        (_, (losses, new_q)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.quantizer, batch, key, cond
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            losses = jax.lax.pmean(losses, axis_name)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = state.ema_params
+        if ema_decay is not None and ema_params is not None:
+            ema_params = jax.tree_util.tree_map(
+                lambda e, p: e * ema_decay + p * (1.0 - ema_decay), ema_params, params
+            )
+        return (
+            state.replace(
+                step=state.step + 1,
+                params=params,
+                quantizer=new_q,
+                opt_state=opt_state,
+                ema_params=ema_params,
+            ),
+            losses,
+        )
+
+    return step
+
+
+def make_gan_train_step(
+    model: DiffAudioRep,
+    disc: MultiScaleSTFTDiscriminator,
+    optimizer: optax.GradientTransformation,
+    disc_optimizer: optax.GradientTransformation,
+    axis_name: tp.Optional[str] = None,
+    melspec_compat: bool = False,
+):
+    """Stage-1 GAN codec step (reference train.py:125-149):
+    g_loss = 0.1·l_t + l_f + 3·l_g + 3·l_feat + 0.1·l_orig; the
+    discriminator step runs every `disc_freq` host iterations via
+    `disc_step`."""
+
+    def g_loss_fn(params, quantizer, disc_params, x, key):
+        variables = {"params": params, "quantizer": quantizer} if quantizer else {"params": params}
+        out, updates = model.apply(
+            variables, x, key=key, training=True, axis_name=axis_name, mutable=["quantizer"]
+        )
+        losses, aux = out
+        x_hat = aux["x_hat"]
+        l_orig = _first(losses)
+        d_real, f_real = disc.apply({"params": disc_params}, x)
+        d_gen, f_gen = disc.apply({"params": disc_params}, x_hat)
+        l_g, l_feat = gen_loss(d_real, f_real, d_gen, f_gen)
+        l_t = jnp.mean(jnp.abs(x - x_hat))
+        l_f = melspec_loss_fn(x, x_hat, range(5, 12), compat=melspec_compat)
+        g_total = 0.1 * l_t + l_f + 3.0 * l_g + 3.0 * l_feat + 0.1 * l_orig
+        metrics = dict(losses)
+        metrics.update(l_g=l_g, l_feat=l_feat, l_t=l_t, l_f=l_f, g_loss=g_total)
+        return g_total, (metrics, updates.get("quantizer", quantizer), x_hat)
+
+    def d_loss_fn(disc_params, x, x_hat):
+        d_real, _ = disc.apply({"params": disc_params}, x)
+        d_gen, _ = disc.apply({"params": disc_params}, jax.lax.stop_gradient(x_hat))
+        return disc_loss(d_real, d_gen)
+
+    def gen_step(state: TrainState, batch: jnp.ndarray, key: jax.Array):
+        (_, (metrics, new_q, x_hat)), grads = jax.value_and_grad(g_loss_fn, has_aux=True)(
+            state.params, state.quantizer, state.disc_params, batch, key
+        )
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            metrics = jax.lax.pmean(metrics, axis_name)
+        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return (
+            state.replace(step=state.step + 1, params=params, quantizer=new_q, opt_state=opt_state),
+            metrics,
+            x_hat,
+        )
+
+    def disc_step(state: TrainState, batch: jnp.ndarray, x_hat: jnp.ndarray):
+        l_d, grads = jax.value_and_grad(d_loss_fn)(state.disc_params, batch, x_hat)
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            l_d = jax.lax.pmean(l_d, axis_name)
+        updates, d_opt = disc_optimizer.update(grads, state.disc_opt_state, state.disc_params)
+        disc_params = optax.apply_updates(state.disc_params, updates)
+        return state.replace(disc_params=disc_params, disc_opt_state=d_opt), l_d
+
+    return gen_step, disc_step
+
+
+def shard_map_step(step_fn, mesh: Mesh, has_aux_batch: bool = False):
+    """Lift a per-shard step into a full-batch jitted step over the mesh:
+    state replicated, batch split on dp, outputs replicated (grads/losses are
+    pmean'ed inside step_fn via axis_name=DP_AXIS)."""
+    in_specs = (P(), P(DP_AXIS), P())
+    out_specs = (P(), P()) if not has_aux_batch else (P(), P(), P(DP_AXIS))
+    wrapped = jax.shard_map(
+        step_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
+    return jax.jit(wrapped)

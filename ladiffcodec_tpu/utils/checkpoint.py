@@ -1,0 +1,40 @@
+"""Checkpointing via orbax: params + optimizer state + quantizer state + EMA
++ step — strictly more than the reference saves (state_dict only, no
+optimizer — srcs/utils.py:85-95, so its "resume" restarts optimization).
+
+Layout mirrors the reference filenames: `{output_dir}/{exp_name}/model_{note}`
+(reference `.amlt` files become orbax directories).
+"""
+
+from __future__ import annotations
+
+import os
+import typing as tp
+from pathlib import Path
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckpt_dir(output_dir: str, exp_name: str, note: str) -> Path:
+    return Path(output_dir).resolve() / exp_name / f"model_{note}"
+
+
+def save_checkpoint(state, output_dir: str, exp_name: str, note: str = "best") -> str:
+    path = _ckpt_dir(output_dir, exp_name, note)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state, force=True)
+    ckptr.wait_until_finished()
+    return str(path)
+
+
+def load_checkpoint(state_template, output_dir: str, exp_name: str, note: str = "best"):
+    path = _ckpt_dir(output_dir, exp_name, note)
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path, state_template)
+
+
+def load_checkpoint_path(state_template, path: tp.Union[str, Path]):
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(Path(path).resolve(), state_template)

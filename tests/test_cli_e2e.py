@@ -1,0 +1,127 @@
+"""End-to-end CLI smoke tests: train (all three stages, tiny configs) and
+sample, on a synthetic LibriSpeech-shaped corpus."""
+
+import os
+
+import numpy as np
+import pytest
+
+from ladiffcodec_tpu.data.audio_io import write_wav, read_wav
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("libri")
+    rng = np.random.RandomState(0)
+    for split in ["train-clean-100", "dev-clean"]:
+        for spk in ["1", "2"]:
+            d = root / split / spk / "c"
+            d.mkdir(parents=True)
+            for i in range(3):
+                t = np.arange(16000) / 16000
+                x = 0.3 * np.sin(2 * np.pi * (100 + 50 * i) * t) + 0.01 * rng.randn(16000)
+                write_wav(d / f"{spk}-{i}.wav", x.astype(np.float32), 16000)
+    return str(root)
+
+
+TINY = [
+    "--rep_dims", "16", "--emb_dims", "16", "--diff_dims", "16",
+    "--n_filters", "4", "--lstm", "0", "--batch_size", "2", "--debug",
+]
+
+
+def test_train_stage2_continuous_ae(corpus):
+    from ladiffcodec_tpu.train import main
+
+    main([
+        "--data_folder_path", corpus, "--seq_len_p_sec", "0.02",
+        "--enc_ratios", "8", "4", "--model_type", "unet", *TINY,
+    ])
+
+
+def test_train_stage2_dp2(corpus):
+    """Same but data-parallel over 2 virtual devices."""
+    from ladiffcodec_tpu.train import main
+
+    main([
+        "--data_folder_path", corpus, "--seq_len_p_sec", "0.02",
+        "--enc_ratios", "8", "4", "--model_type", "unet", "--dp_devices", "2", *TINY,
+    ])
+
+
+def test_train_stage1_gan_codec(corpus):
+    from ladiffcodec_tpu.train import main
+
+    main([
+        "--data_folder_path", corpus, "--seq_len_p_sec", "0.2",
+        "--enc_ratios", "8", "5", "4", "2", "--quantization", "--bandwidth", "1.5",
+        "--use_disc", "--model_type", "unet", *TINY,
+    ])
+
+
+def test_train_stage3_diffusion(corpus, tmp_path):
+    """Flagship stage-3 path, with a randomly-initialized cond codec saved to
+    disk first (the reference loads model_for_cond/model_best.amlt)."""
+    import jax
+    import jax.numpy as jnp
+    from ladiffcodec_tpu.train import main, build_cond_model
+    from ladiffcodec_tpu.utils.checkpoint import save_checkpoint
+
+    class A:  # minimal args for build_cond_model
+        rep_dims, emb_dims, n_residual_layers, n_filters, lstm = 16, 16, 1, 4, 0
+        cond_quantization, cond_bandwidth, final_activation = True, 1.5, None
+        cond_enc_ratios = [8, 5, 4, 2]
+
+    cond = build_cond_model(A)
+    v = cond.init(jax.random.PRNGKey(0), jnp.zeros((1, 640, 1)))
+    cond_dir = tmp_path / "condmodel"
+    save_checkpoint(v, str(tmp_path), "condmodel", note="best")
+
+    main([
+        "--data_folder_path", corpus, "--seq_len_p_sec", "0.32",
+        "--enc_ratios", "8", "--run_diff", "--model_type", "unet",
+        "--scaling_global", "--unet_scale_cond", "--freeze_ed",
+        "--model_for_cond", str(cond_dir),
+        "--cond_enc_ratios", "8", "5", "4", "2", "--cond_quantization",
+        "--cond_bandwidth", "1.5", "--upsampling_ratios", "5", "4", "2",
+        "--seq_length", "640", *TINY,
+    ])
+
+
+def test_sample_cli(corpus, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from ladiffcodec_tpu.sample import main
+    from ladiffcodec_tpu.train import build_cond_model
+    from ladiffcodec_tpu.utils.checkpoint import save_checkpoint
+
+    class A:
+        rep_dims, emb_dims, n_residual_layers, n_filters, lstm = 16, 16, 1, 4, 0
+        cond_quantization, cond_bandwidth, final_activation = True, 1.5, None
+        cond_enc_ratios = [8, 5, 4, 2]
+
+    cond = build_cond_model(A, quantization=True)
+    v = cond.init(jax.random.PRNGKey(0), jnp.zeros((1, 640, 1)))
+    save_checkpoint(v, str(tmp_path), "condmodel", note="best")
+
+    out = str(tmp_path / "outs") + "/"  # trailing slash: output_dir + local_path
+    main([
+        "--input_dir", corpus + "/dev-clean/1/",
+        "--output_dir", out,
+        "--model_for_cond", str(tmp_path / "condmodel" / "model_best"),
+        "--run_diff", "--model_type", "unet", "--enc_ratios", "8",
+        "--rep_dims", "16", "--diff_dims", "16", "--n_filters", "4", "--lstm", "0",
+        "--scaling_global", "--unet_scale_cond",
+        "--cond_enc_ratios", "8", "5", "4", "2", "--cond_bandwidth", "1.5",
+        "--upsampling_ratios", "5", "4", "2",
+        "--midway_t", "4",
+    ])
+    wavs = [f for f in os.listdir(out + "/c")] if os.path.isdir(out + "/c") else os.listdir(out)
+    assert any(f.endswith(".wav") for f in wavs)
+    # decoded audio is valid
+    first = sorted(
+        os.path.join(dp, f) for dp, _, fs in os.walk(out) for f in fs if f.endswith(".wav")
+    )[0]
+    audio, sr = read_wav(first)
+    assert sr == 16000 and audio.shape[-1] % 640 == 0
+    assert np.isfinite(audio).all()
