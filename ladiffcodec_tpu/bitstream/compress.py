@@ -1,0 +1,201 @@
+"""wav <-> .ecdc compression API (reference srcs/encodec/compress.py).
+
+Two entropy modes:
+  * fixed-width bit packing (`use_lm=False`) — whole-stream C++ fast path
+    when the native lib is available;
+  * LM arithmetic coding (`use_lm=True`) — the streaming LM runs one jitted
+    step per frame on device while the range coder consumes/produces bits in
+    C++ (or pure Python as fallback).
+"""
+
+from __future__ import annotations
+
+import io
+import math
+import struct
+import typing as tp
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import binary
+from .ac import ArithmeticCoder, ArithmeticDecoder, build_stable_quantized_cdf
+from . import native
+from .encodec_model import EncodecModel, EncodedFrame
+
+MODELS = {
+    "encodec_24khz": EncodecModel.encodec_model_24khz,
+    "encodec_48khz": EncodecModel.encodec_model_48khz,
+}
+
+
+def _lm_step_fn(lm, lm_vars):
+    @jax.jit
+    def step(indices, states, offset):
+        return lm.apply(lm_vars, indices, states, offset)
+
+    return step
+
+
+def compress_to_file(
+    model: EncodecModel,
+    variables,
+    wav: np.ndarray,
+    fo: tp.IO[bytes],
+    use_lm: bool = False,
+    lm=None,
+    lm_vars=None,
+) -> None:
+    """wav: (channels, L) at model.sample_rate (reference compress.py:28-89)."""
+    assert wav.ndim == 2, "Only single waveform can be encoded."
+    x = np.moveaxis(wav, 0, -1)[None]  # (1, L, C)
+    frames = model.encode(variables, x)
+
+    metadata = {
+        "m": model.name,
+        "al": wav.shape[-1],
+        "nc": frames[0][0].shape[1],
+        "lm": use_lm,
+    }
+    binary.write_ecdc_header(fo, metadata)
+
+    if use_lm:
+        assert lm is not None and lm_vars is not None
+        lm_step = _lm_step_fn(lm, lm_vars)
+
+    for (frame, scale) in frames:
+        if scale is not None:
+            fo.write(struct.pack("!f", float(scale.reshape(-1)[0])))
+        _, K, T = frame.shape
+        if use_lm:
+            coder = (
+                native.NativeArithmeticCoder() if native.available() else ArithmeticCoder(fo)
+            )
+            states, offset = lm.init_state(1)
+            input_ = jnp.zeros((1, K, 1), jnp.int32)
+            for t in range(T):
+                probas, states, offset = lm_step(input_, states, offset)
+                input_ = 1 + jnp.asarray(frame[:, :, t : t + 1], jnp.int32)
+                p = np.asarray(probas[0, :, :, 0]).T  # (K, card)
+                if native.available():
+                    cdfs = np.stack([native.build_cdf(p[k], 24) for k in range(K)])
+                    coder.push_frame(frame[0, :, t].astype(np.int32), cdfs)
+                else:
+                    for k in range(K):
+                        q_cdf = build_stable_quantized_cdf(p[k], coder.total_range_bits,
+                                                           check=False)
+                        coder.push(int(frame[0, k, t]), q_cdf)
+            if native.available():
+                fo.write(coder.finish())
+            else:
+                coder.flush()
+        else:
+            codes = frame[0].T.reshape(-1)  # time-major: (T, K) flattened
+            if native.available():
+                fo.write(native.pack_codes(codes.astype(np.int32), model.bits_per_codebook))
+            else:
+                packer = binary.BitPacker(model.bits_per_codebook, fo)
+                for v in codes:
+                    packer.push(int(v))
+                packer.flush()
+
+
+def decompress_from_file(
+    fo: tp.IO[bytes],
+    variables=None,
+    model: tp.Optional[EncodecModel] = None,
+    lm=None,
+    lm_vars=None,
+) -> tp.Tuple[np.ndarray, int]:
+    """Returns (wav (channels, L), sample_rate).  Reference compress.py:92-156."""
+    metadata = binary.read_ecdc_header(fo)
+    model_name, audio_length = metadata["m"], metadata["al"]
+    num_codebooks, use_lm = metadata["nc"], metadata["lm"]
+    if model is None:
+        if model_name not in MODELS:
+            raise ValueError(f"The audio was compressed with an unsupported model {model_name}.")
+        model = MODELS[model_name]()
+    assert variables is not None, "model variables required (no URL downloads here)"
+
+    if use_lm:
+        assert lm is not None and lm_vars is not None
+        lm_step = _lm_step_fn(lm, lm_vars)
+
+    frames: tp.List[EncodedFrame] = []
+    segment_length = model.segment_length or audio_length
+    segment_stride = model.segment_stride or audio_length
+    for seg_offset in range(0, audio_length, segment_stride):
+        this_segment_length = min(audio_length - seg_offset, segment_length)
+        frame_length = int(math.ceil(this_segment_length / model.sample_rate * model.frame_rate))
+        if model.normalize:
+            (scale_f,) = struct.unpack("!f", binary._read_exactly(fo, struct.calcsize("!f")))
+            scale = np.array([[scale_f]], np.float32)
+        else:
+            scale = None
+        frame = np.zeros((1, num_codebooks, frame_length), np.int64)
+        if use_lm:
+            if native.available():
+                # read the remainder, decode, then rewind fo past the bytes
+                # this segment actually consumed
+                mark = fo.tell()
+                rest = fo.read()
+                decoder = native.NativeArithmeticDecoder(rest)
+            else:
+                decoder = ArithmeticDecoder(fo)
+            states, offset = lm.init_state(1)
+            input_ = jnp.zeros((1, num_codebooks, 1), jnp.int32)
+            for t in range(frame_length):
+                probas, states, offset = lm_step(input_, states, offset)
+                p = np.asarray(probas[0, :, :, 0]).T
+                if native.available():
+                    cdfs = np.stack(
+                        [native.build_cdf(p[k], 24) for k in range(num_codebooks)]
+                    )
+                    codes = decoder.pull_frame(cdfs)
+                else:
+                    codes = []
+                    for k in range(num_codebooks):
+                        q_cdf = build_stable_quantized_cdf(p[k], decoder.total_range_bits,
+                                                           check=False)
+                        code = decoder.pull(q_cdf)
+                        if code is None:
+                            raise EOFError("The stream ended sooner than expected.")
+                        codes.append(code)
+                    codes = np.asarray(codes)
+                frame[0, :, t] = codes
+                input_ = 1 + jnp.asarray(frame[:, :, t : t + 1], jnp.int32)
+            if native.available():
+                fo.seek(mark + decoder.tell())
+                decoder.close()
+        else:
+            n = num_codebooks * frame_length
+            if native.available():
+                nbytes = (n * model.bits_per_codebook + 7) // 8
+                data = binary._read_exactly(fo, nbytes)
+                codes = native.unpack_codes(data, model.bits_per_codebook, n)
+            else:
+                unpacker = binary.BitUnpacker(model.bits_per_codebook, fo)
+                codes = []
+                for _ in range(n):
+                    v = unpacker.pull()
+                    if v is None:
+                        raise EOFError("The stream ended sooner than expected.")
+                    codes.append(v)
+                codes = np.asarray(codes)
+            frame[0] = codes.reshape(frame_length, num_codebooks).T
+        frames.append((frame, scale))
+
+    wav = model.decode(variables, frames)  # (1, L, C)
+    return np.moveaxis(wav[0], -1, 0)[:, :audio_length], model.sample_rate
+
+
+def compress(model, variables, wav, use_lm: bool = False, lm=None, lm_vars=None) -> bytes:
+    fo = io.BytesIO()
+    compress_to_file(model, variables, wav, fo, use_lm=use_lm, lm=lm, lm_vars=lm_vars)
+    return fo.getvalue()
+
+
+def decompress(compressed: bytes, variables=None, model=None, lm=None, lm_vars=None):
+    fo = io.BytesIO(compressed)
+    return decompress_from_file(fo, variables=variables, model=model, lm=lm, lm_vars=lm_vars)

@@ -1,0 +1,138 @@
+"""EnCodec model + compress/decompress + LM + balancer end-to-end tests
+(reference srcs/encodec/compress.py:188-207 self-test shape)."""
+
+import io
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ladiffcodec_tpu.bitstream.encodec_model import EncodecModel, linear_overlap_add
+from ladiffcodec_tpu.bitstream.compress import compress, decompress
+
+
+def tiny_model(segment=None, normalize=False):
+    m = EncodecModel(
+        target_bandwidths=[1.5, 3.0, 6.0],
+        sample_rate=16000,
+        channels=1,
+        causal=True,
+        audio_normalize=normalize,
+        segment=segment,
+        name="encodec_24khz",  # reuse a registered name for header tests
+        ratios=(8, 5, 4, 2),
+        dimension=16,
+    )
+    m.encoder = type(m.encoder)(
+        channels=1, norm="weight_norm", causal=True, ratios=(8, 5, 4, 2),
+        dimension=16, n_filters=4, lstm=0,
+    )
+    m.decoder = type(m.decoder)(
+        channels=1, norm="weight_norm", causal=True, ratios=(8, 5, 4, 2),
+        dimension=16, n_filters=4, lstm=0,
+    )
+    from ladiffcodec_tpu.quantization.rvq import ResidualVectorQuantizer
+
+    m.quantizer = ResidualVectorQuantizer(dimension=16, n_q=m.quantizer.n_q, bins=1024)
+    return m
+
+
+def test_linear_overlap_add_identity():
+    x = np.random.RandomState(0).randn(1, 1, 1000).astype(np.float32)
+    # two frames with 50% overlap reconstruct the middle by crossfade
+    frames = [x[..., :600], x[..., 400:]]
+    out = linear_overlap_add(frames, 400)
+    assert out.shape[-1] == 1000
+    np.testing.assert_allclose(out[..., :200], x[..., :200], rtol=1e-5)
+    np.testing.assert_allclose(out[..., -200:], x[..., -200:], rtol=1e-5)
+    np.testing.assert_allclose(out, x, rtol=1e-4, atol=1e-6)
+
+
+def test_codes_roundtrip_no_lm():
+    m = tiny_model()
+    v = m.init_variables(jax.random.PRNGKey(0), example_len=3200)
+    m.set_target_bandwidth(3.0)
+    wav = np.random.RandomState(0).randn(1, 3200).astype(np.float32) * 0.1
+
+    data = compress(m, v, wav, use_lm=False)
+    out, sr = decompress(data, variables=v, model=m)
+    assert sr == 16000
+    assert out.shape == wav.shape
+    # codes themselves must round-trip exactly: re-encode the SAME wav and
+    # compare the packed payloads
+    assert compress(m, v, wav, use_lm=False) == data
+
+    # measured bitrate ~= target (header adds a constant)
+    frames = m.encode(v, np.moveaxis(wav, 0, -1)[None])
+    n_q = frames[0][0].shape[1]
+    assert n_q == 6  # 3 kbps at 50 Hz
+
+
+def test_segmented_model_overlap_add():
+    m = tiny_model(segment=0.1)  # 1600-sample segments, 1% overlap
+    v = m.init_variables(jax.random.PRNGKey(0), example_len=1600)
+    m.set_target_bandwidth(1.5)
+    x = np.random.RandomState(1).randn(1, 4000, 1).astype(np.float32) * 0.1
+    frames = m.encode(v, x)
+    assert len(frames) == 3  # stride 1584: offsets 0, 1584, 3168
+    y = m.forward(v, x)
+    assert y.shape == x.shape
+
+
+def test_compress_with_lm_roundtrip():
+    from ladiffcodec_tpu.models.streaming_transformer import LMModel
+
+    m = tiny_model()
+    v = m.init_variables(jax.random.PRNGKey(0), example_len=1600)
+    m.set_target_bandwidth(1.5)
+    lm = LMModel(n_q=m.quantizer.n_q, card=1024, dim=32, num_layers=1, past_context=16)
+    lm_vars = lm.init(jax.random.PRNGKey(1), np.zeros((1, m.quantizer.n_q, 1), np.int32))
+
+    wav = np.random.RandomState(0).randn(1, 1600).astype(np.float32) * 0.1
+    data = compress(m, v, wav, use_lm=True, lm=lm, lm_vars=lm_vars)
+    out, sr = decompress(data, variables=v, model=m, lm=lm, lm_vars=lm_vars)
+    assert out.shape == wav.shape
+
+    # decompressed audio equals the direct decode of the encoded frames
+    frames = m.encode(v, np.moveaxis(wav, 0, -1)[None])
+    direct = np.moveaxis(m.decode(v, frames)[0], -1, 0)[:, : wav.shape[-1]]
+    np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
+
+
+def test_lm_streaming_state_consistency():
+    """Feeding tokens one step at a time with carried state must match the
+    full-sequence pass (the streaming contract)."""
+    from ladiffcodec_tpu.models.streaming_transformer import LMModel
+
+    lm = LMModel(n_q=2, card=16, dim=16, num_layers=2, past_context=8)
+    idx = np.random.RandomState(0).randint(0, 17, (1, 2, 6)).astype(np.int32)
+    lm_vars = lm.init(jax.random.PRNGKey(0), idx)
+
+    full, _, _ = lm.apply(lm_vars, idx)
+    states, offset = lm.init_state(1)
+    steps = []
+    for t in range(6):
+        p, states, offset = lm.apply(lm_vars, idx[:, :, t : t + 1], states, offset)
+        steps.append(np.asarray(p))
+    stepped = np.concatenate(steps, axis=-1)
+    np.testing.assert_allclose(np.asarray(full), stepped, rtol=2e-4, atol=2e-5)
+
+
+def test_balancer_reference_values():
+    """The reference's own self-test (balancer.py:121-139)."""
+    from ladiffcodec_tpu.losses.balancer import Balancer
+
+    x = jnp.zeros((1,))
+    one = jnp.ones_like(x)
+    loss_fns = {
+        "1": lambda s: jnp.abs(s - one).mean(),
+        "2": lambda s: 100.0 * jnp.abs(s + one).mean(),
+    }
+    b = Balancer(weights={"1": 1, "2": 1}, rescale_grads=False)
+    cot, _, _ = b.cotangent(b.init_state(), loss_fns, x)
+    np.testing.assert_allclose(np.asarray(cot), [99.0], rtol=1e-5)
+
+    b = Balancer(weights={"1": 1, "2": 1}, rescale_grads=True)
+    cot, _, _ = b.cotangent(b.init_state(), loss_fns, x)
+    np.testing.assert_allclose(np.asarray(cot), [0.0], atol=1e-5)
