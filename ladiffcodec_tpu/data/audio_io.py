@@ -88,7 +88,7 @@ def write_wav(
         audio = audio[None]
     assert bits == 16, "only 16-bit PCM output supported"
     pcm = np.clip(audio, -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2")
+    pcm = np.round(pcm * 32767.0).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(audio.shape[0])
         w.setsampwidth(2)

@@ -105,12 +105,24 @@ def kmeans(key: jax.Array, samples: jnp.ndarray, num_clusters: int, num_iters: i
     return means, counts
 
 
-def quantize_stage(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+def quantize_stage(
+    x: jnp.ndarray, embed: jnp.ndarray, use_pallas: tp.Optional[bool] = None
+) -> jnp.ndarray:
     """Nearest-code indices for one stage.  x: (..., dim), embed: (bins, dim).
 
     One MXU matmul + row-norm subtraction (reference core_vq.py:174-182).
+    On TPU backends with lane-aligned shapes this dispatches to the fused
+    Pallas kernel (ops/pallas_vq.py), which keeps the (N, bins) logits in
+    VMEM instead of round-tripping them through HBM.
     """
     flat = x.reshape(-1, x.shape[-1])
+    if use_pallas is None:
+        use_pallas = jax.default_backend() != "cpu"
+    if use_pallas:
+        from ..ops.pallas_vq import nearest_code_pallas, pallas_supported
+
+        if pallas_supported(flat, embed):
+            return nearest_code_pallas(flat, embed).reshape(x.shape[:-1])
     logits = 2.0 * jnp.dot(flat, embed.T, preferred_element_type=jnp.float32)
     logits = logits - jnp.sum(embed.astype(jnp.float32) ** 2, axis=-1)[None, :]
     idx = jnp.argmax(logits, axis=-1)
