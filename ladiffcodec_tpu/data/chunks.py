@@ -24,6 +24,9 @@ def _load_chunk(path: str) -> np.ndarray:
 
 
 class EnCodecData:
+    """`stable=True` reproduces the reference's dataset_stable.py variant:
+    std-normalized segments, and __getitem__ returns (seg, seg_id)."""
+
     def __init__(
         self,
         path: str,
@@ -32,7 +35,9 @@ class EnCodecData:
         sample_rate: int = 16000,
         multi: bool = False,
         n_spks: int = 0,
+        stable: bool = False,
     ):
+        self.stable = stable
         self.spks = sorted(glob.glob(path))
         if n_spks:
             self.spks = self.spks[:n_spks]
@@ -61,6 +66,10 @@ class EnCodecData:
         else:
             raise ValueError("task can only be train or valid")
         seg = _load_chunk(seg_l[seg_id]).astype(np.float32)
+        if self.stable:
+            std = np.std(seg)
+            if not np.isclose(std, 0):
+                seg = seg / std * 32768.0 / 152.0  # data_max contract (dataset.py:38)
         if self.seq_len_p_sec < 5:
             seq_length = int(self.seq_len_p_sec * self.sample_rate)
             if self.task == "valid":
@@ -74,10 +83,13 @@ class EnCodecData:
                         break
         return seg / 32768.0, seg_id
 
-    def __getitem__(self, idx: int, rng: tp.Optional[np.random.Generator] = None) -> np.ndarray:
+    def __getitem__(self, idx: int, rng: tp.Optional[np.random.Generator] = None):
         rng = rng or np.random.default_rng(idx)
         if self.multi:
             seq1, seg_id = self.get_seq(idx, None, rng)
             seq2, _ = self.get_seq((idx + 1) % len(self), seg_id, rng)
             return (seq1 + seq2).astype(np.float32)
-        return self.get_seq(idx, None, rng)[0].astype(np.float32)
+        seq, seg_id = self.get_seq(idx, None, rng)
+        if self.stable:
+            return seq.astype(np.float32), seg_id
+        return seq.astype(np.float32)

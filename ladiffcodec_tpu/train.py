@@ -93,6 +93,9 @@ def get_parser() -> argparse.ArgumentParser:
     # TPU-native extras
     parser.add_argument("--steps", type=int, default=50000)
     parser.add_argument("--dp_devices", type=int, default=0, help="0 = all visible")
+    parser.add_argument("--ema_decay", type=float, default=0.0,
+                        help="EMA shadow of params (0 = off; reference builds "
+                             "but never enables EMA, utils.py:182/train.py:361)")
     parser.add_argument("--melspec_compat", action="store_true",
                         help="reproduce the reference's single-scale melspec-loss bug")
     return parser
@@ -215,6 +218,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     state = TrainState(
         step=jnp.asarray(0), params=params, quantizer=quantizer,
         opt_state=optimizer.init(params),
+        ema_params=params if inp_args.ema_decay > 0 else None,
     )
 
     disc = None
@@ -259,7 +263,10 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             gen_step = jax.jit(gen_step)
             disc_step = jax.jit(disc_step)
     else:
-        step_fn = make_train_step(model, optimizer, cond_model, cond_vars, axis_name=axis_name)
+        step_fn = make_train_step(
+            model, optimizer, cond_model, cond_vars, axis_name=axis_name,
+            ema_decay=inp_args.ema_decay if inp_args.ema_decay > 0 else None,
+        )
         if mesh:
             train_step = shard_map_step(step_fn, mesh)
         else:

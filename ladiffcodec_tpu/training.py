@@ -16,7 +16,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from flax.core import FrozenDict
 from jax.sharding import Mesh, PartitionSpec as P
 
 from .models.diff_rep import DiffAudioRep
