@@ -28,12 +28,12 @@ def main() -> None:
     from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
 
     SR = 16000
-    SECONDS = 2.4  # reference training clip length (seq_len 1200 at hop 32... here hop 8)
-    BATCH = 4
+    SECONDS = 2.4  # reference training clip length
+    BATCH = 16  # throughput sweet spot measured on v5e (85x @16 vs 39x @4)
     STEPS = 50  # "50-step DDIM decode"
     L = int(SECONDS * SR) // 640 * 640
 
-    dtype = jnp.bfloat16
+    dtype = jnp.bfloat16  # activations; params stay f32
 
     model = DiffAudioRep(
         rep_dims=128,
@@ -74,10 +74,14 @@ def main() -> None:
         img = raw / (jnp.max(jnp.abs(raw.reshape(B, -1)), 1)[:, None, None] + 1e-8)
 
         def model_fn(xx, tt, cc):
-            return model.apply(variables, xx, tt, cc, True, method="diff_model_fn")
+            out = model.apply(
+                variables, xx.astype(dtype), tt, cc.astype(dtype), True,
+                method="diff_model_fn",
+            )
+            return out.astype(jnp.float32)
 
         sample = diffusion.ddim_from(model_fn, img, 100, STEPS, key, img)
-        return model.apply(variables, sample, method="decode")
+        return model.apply(variables, sample.astype(dtype), method="decode")
 
     key = jax.random.PRNGKey(0)
     # compile

@@ -102,9 +102,12 @@ class ChanLayerNorm(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         g = self.param("g", nn.initializers.ones, (self.dim,))
         eps = 1e-5 if x.dtype == jnp.float32 else 1e-3
-        mean = jnp.mean(x, axis=-1, keepdims=True)
-        var = jnp.var(x, axis=-1, keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + eps) * g
+        # stats in f32 for stability, output in the activation dtype
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.var(xf, axis=-1, keepdims=True)
+        out = (xf - mean) * jax.lax.rsqrt(var + eps) * g
+        return out.astype(x.dtype)
 
 
 def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
@@ -116,7 +119,12 @@ def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
 
 
 class Block(nn.Module):
-    """WS-conv → GroupNorm → (FiLM) → SiLU (reference unet.py:137-154)."""
+    """WS-conv → GroupNorm → (FiLM) → SiLU (reference unet.py:137-154).
+
+    dtype discipline: GroupNorm and the FiLM multiply stay in the activation
+    dtype (bf16 inference) — flax defaults would silently promote everything
+    back to f32 after the first norm.
+    """
 
     dim_out: int
     groups: int = 8
@@ -124,10 +132,10 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = WeightStandardizedConv1d(self.dim_out, 3, padding=1, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, name="norm")(x)
+        x = nn.GroupNorm(num_groups=self.groups, dtype=x.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
+            x = x * (scale.astype(x.dtype) + 1.0) + shift.astype(x.dtype)
         return nn.silu(x)
 
 

@@ -74,7 +74,19 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--output_dir", type=str, default="outputs/")
     # TPU-native extras
     parser.add_argument("--midway_t", type=int, default=100)
-    parser.add_argument("--sampler", type=str, default="halfway", choices=["halfway", "ddim"])
+    parser.add_argument(
+        "--sampler", type=str, default="halfway",
+        choices=["halfway", "ddim", "full", "infilling"],
+        help="halfway = reference production path (sample.py:130); ddim = "
+             "truncated fast path; full = ancestral from noise "
+             "(reference's commented-out alternative, sample.py:98-105); "
+             "infilling = reference sample.py:107-122",
+    )
+    parser.add_argument("--infill_lam", type=float, default=0.1)
+    parser.add_argument("--compute_dtype", type=str, default="bfloat16",
+                        choices=["bfloat16", "float32"],
+                        help="activation dtype for the denoiser/decoder "
+                             "(params stay float32; schedule math stays f32)")
     parser.add_argument("--bucket_s", type=float, default=0.0,
                         help="pad files up to multiples of this many seconds "
                              "to bound recompilation (0 = exact lengths)")
@@ -135,17 +147,29 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args):
         img = raw / (jnp.max(jnp.abs(raw)) + 1e-8)
         cond_p = img if inp_args.unet_scale_cond else raw
         diffusion = model.diffusion
+        cdtype = jnp.bfloat16 if inp_args.compute_dtype == "bfloat16" else jnp.float32
 
         def model_fn(x, t, c):
-            return model.apply(variables, x, t, c, True, method="diff_model_fn")
+            out = model.apply(
+                variables, x.astype(cdtype), t, c.astype(cdtype), True,
+                method="diff_model_fn",
+            )
+            return out.astype(jnp.float32)
 
         if inp_args.sampler == "ddim":
             sample = diffusion.ddim_from(
                 model_fn, img, midway_t, inp_args.sampling_timesteps, key, cond_p
             )
+        elif inp_args.sampler == "full":
+            sample = diffusion.p_sample_loop(model_fn, img.shape, key, cond_p)
+        elif inp_args.sampler == "infilling":
+            sample = diffusion.infilling(
+                model_fn, img, cond_p, midway_t, key, lam=inp_args.infill_lam
+            )
         else:
             sample = diffusion.halfway_sampling(model_fn, img, midway_t, key, cond_p)
-        x_hat = model.apply(variables, sample, method="decode")
+        x_hat = model.apply(variables, sample.astype(cdtype), method="decode")
+        x_hat = x_hat.astype(jnp.float32)
         x_hat = x_hat / (jnp.std(x_hat.flatten()) + 1e-8)
         x_hat = x_hat / (jnp.max(jnp.abs(x_hat.flatten())) + 1e-8)
         return x_hat
