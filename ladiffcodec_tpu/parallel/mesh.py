@@ -27,6 +27,10 @@ def make_mesh(
     """1-D data-parallel mesh, or ('dcn', 'dp') when dcn_slices > 1."""
     devices = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        assert len(devices) >= n_devices, (
+            f"requested {n_devices} devices but only {len(devices)} visible "
+            "(forgot jax_num_cpu_devices / xla_force_host_platform_device_count?)"
+        )
         devices = devices[:n_devices]
     if dcn_slices > 1:
         assert len(devices) % dcn_slices == 0

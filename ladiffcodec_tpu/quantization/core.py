@@ -122,7 +122,11 @@ def quantize_stage(
         from ..ops.pallas_vq import nearest_code_pallas, pallas_supported
 
         if pallas_supported(flat, embed):
-            return nearest_code_pallas(flat, embed).reshape(x.shape[:-1])
+            # indices are non-differentiable; stop_gradient keeps autodiff
+            # from trying to linearize through the pallas_call
+            return nearest_code_pallas(
+                jax.lax.stop_gradient(flat), jax.lax.stop_gradient(embed)
+            ).reshape(x.shape[:-1])
     logits = 2.0 * jnp.dot(flat, embed.T, preferred_element_type=jnp.float32)
     logits = logits - jnp.sum(embed.astype(jnp.float32) ** 2, axis=-1)[None, :]
     idx = jnp.argmax(logits, axis=-1)

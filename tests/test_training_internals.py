@@ -1,0 +1,82 @@
+"""Trainer internals: freeze_ed optimizer masking, EMA in the step, and the
+48 kHz stereo EnCodec path (segments + volume normalize + time_group_norm)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
+from ladiffcodec_tpu.training import TrainState, make_optimizer, make_train_step
+
+
+def test_freeze_ed_only_updates_diff_model():
+    m = DiffAudioRep(
+        rep_dims=16, diff_dims=16, n_filters=4, lstm=0, enc_ratios=(8,),
+        run_diff=True, model_type="unet", scaling_global=True,
+    )
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(1), x)
+    opt = make_optimizer(1e-2, freeze_ed=True)
+    state = TrainState(step=jnp.asarray(0), params=v["params"], quantizer={},
+                       opt_state=opt.init(v["params"]))
+    step = jax.jit(make_train_step(m, opt))
+    state2, losses = step(state, x, jax.random.PRNGKey(2))
+
+    def maxdiff(a, b):
+        return max(jax.tree_util.tree_leaves(
+            jax.tree_util.tree_map(lambda p, q: float(jnp.max(jnp.abs(p - q))), a, b)
+        ))
+
+    assert maxdiff(state.params["diff_model"], state2.params["diff_model"]) > 0
+    assert maxdiff(state.params["encoder"], state2.params["encoder"]) == 0
+    assert maxdiff(state.params["decoder"], state2.params["decoder"]) == 0
+
+
+def test_ema_in_train_step():
+    m = DiffAudioRep(enc_ratios=(8, 4), rep_dims=8, n_filters=4, lstm=0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(1), x)
+    opt = optax.adam(1e-2)
+    state = TrainState(step=jnp.asarray(0), params=v["params"], quantizer={},
+                       opt_state=opt.init(v["params"]), ema_params=v["params"])
+    step = jax.jit(make_train_step(m, opt, ema_decay=0.9))
+    state2, _ = step(state, x, jax.random.PRNGKey(2))
+    # ema moved toward new params but not all the way
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    p1 = jax.tree_util.tree_leaves(state2.params)[0]
+    e1 = jax.tree_util.tree_leaves(state2.ema_params)[0]
+    expected = p0 * 0.9 + p1 * 0.1
+    np.testing.assert_allclose(np.asarray(e1), np.asarray(expected), rtol=1e-5, atol=1e-7)
+
+
+def test_encodec_48khz_stereo_segments():
+    from ladiffcodec_tpu.bitstream.encodec_model import EncodecModel
+
+    m = EncodecModel(
+        target_bandwidths=[3.0, 6.0], sample_rate=48000, channels=2, causal=False,
+        model_norm="time_group_norm", audio_normalize=True, segment=0.01,
+        name="encodec_48khz", ratios=(8, 5, 4, 2), dimension=16,
+    )
+    m.encoder = type(m.encoder)(
+        channels=2, norm="time_group_norm", causal=False, ratios=(8, 5, 4, 2),
+        dimension=16, n_filters=4, lstm=0,
+    )
+    m.decoder = type(m.decoder)(
+        channels=2, norm="time_group_norm", causal=False, ratios=(8, 5, 4, 2),
+        dimension=16, n_filters=4, lstm=0,
+    )
+    from ladiffcodec_tpu.quantization.rvq import ResidualVectorQuantizer
+
+    m.quantizer = ResidualVectorQuantizer(dimension=16, n_q=4, bins=64, kmeans_init=False)
+    m.set_target_bandwidth(3.0)
+    v = m.init_variables(jax.random.PRNGKey(0), example_len=480)
+
+    x = np.random.RandomState(0).randn(1, 1200, 2).astype(np.float32) * 0.1
+    frames = m.encode(v, x)
+    assert len(frames) == 3  # segment 480 samples, stride 475
+    codes, scale = frames[0]
+    assert scale is not None  # audio_normalize
+    y = m.forward(v, x)
+    assert y.shape == x.shape
+    assert np.isfinite(y).all()
