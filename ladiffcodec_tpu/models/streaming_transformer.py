@@ -60,7 +60,12 @@ class StreamingMHA(nn.Module):
             [offset - H + jnp.arange(H), offset + jnp.arange(T)]
         ).reshape(1, -1)
         delta = q_pos - k_pos
-        valid = (delta >= 0) & (delta <= past_context) & (k_pos >= 0)
+        # k_pos >= -1: the reference initializes the stream state with ONE
+        # zero frame that IS attended until it rolls out of the context
+        # window (transformer_encodec.py:105 `torch.zeros_like(x[:, :1])`);
+        # our ring holds zeros at negative positions, so admitting exactly
+        # position -1 reproduces that semantics bit-for-bit.
+        valid = (delta >= 0) & (delta <= past_context) & (k_pos >= -1)
 
         sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
         sim = sim * (D ** -0.5)
@@ -72,24 +77,37 @@ class StreamingMHA(nn.Module):
 
 
 class StreamingTransformerEncoderLayer(nn.Module):
-    """Pre-norm transformer layer with streaming SA
-    (reference transformer_encodec.py:30-59, norm_first)."""
+    """Transformer layer with streaming SA (reference
+    transformer_encodec.py:30-41).  The reference builds torch
+    `nn.TransformerEncoderLayer` WITHOUT norm_first, so the default
+    POST-norm branch runs: sa_input is the raw x, norms come after the
+    residual adds."""
 
     dim: int
     hidden_dim: int
     num_heads: int
     gelu: bool = True
+    norm_first: bool = False
 
     @nn.compact
     def __call__(self, x, x_past, past_context: int, offset):
-        sa_input = nn.LayerNorm(name="norm1")(x)
-        x = x + StreamingMHA(self.dim, self.num_heads, name="self_attn")(
-            sa_input, x_past, past_context, offset
-        )
-        h = nn.LayerNorm(name="norm2")(x)
-        h = nn.Dense(self.hidden_dim, name="linear1")(h)
-        h = nn.gelu(h) if self.gelu else nn.relu(h)
-        x = x + nn.Dense(self.dim, name="linear2")(h)
+        mha = StreamingMHA(self.dim, self.num_heads, name="self_attn")
+        ln1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        ln2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+
+        def ff(h):
+            h = nn.Dense(self.hidden_dim, name="linear1")(h)
+            h = nn.gelu(h) if self.gelu else nn.relu(h)
+            return nn.Dense(self.dim, name="linear2")(h)
+
+        if self.norm_first:
+            sa_input = ln1(x)
+            x = x + mha(sa_input, x_past, past_context, offset)
+            x = x + ff(ln2(x))
+        else:
+            sa_input = x
+            x = ln1(x + mha(sa_input, x_past, past_context, offset))
+            x = ln2(x + ff(x))
         return x, sa_input
 
 
@@ -121,7 +139,7 @@ class StreamingTransformerEncoder(nn.Module):
         pos_emb = create_sin_embedding(positions.astype(jnp.float32), C, self.max_period)
 
         if self.norm_in:
-            x = nn.LayerNorm(name="norm_in")(x)
+            x = nn.LayerNorm(epsilon=1e-5, name="norm_in")(x)
         x = x + pos_emb
 
         hidden = int(self.dim * self.hidden_scale)

@@ -331,3 +331,68 @@ def load_torch_state_dict(path: str) -> tp.Dict[str, Array]:
     if isinstance(sd, dict) and "state_dict" in sd:
         sd = sd["state_dict"]
     return {k: v.detach().cpu().numpy() for k, v in sd.items()}
+
+
+def encodec_variables(
+    sd: StateDict,
+    ratios: tp.Sequence[int] = (8, 5, 4, 2),
+    n_residual_layers: int = 1,
+    lstm_layers: int = 2,
+) -> tp.Dict[str, tp.Any]:
+    """Variables for bitstream.EncodecModel from a Meta EnCodec state_dict
+    (keys: encoder.model.* / decoder.model.* / quantizer.vq.layers.*)."""
+    sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
+    return {
+        "encoder": seanet_encoder(sd, "encoder", ratios, n_residual_layers, lstm_layers),
+        "decoder": seanet_decoder(sd, "decoder", ratios, n_residual_layers, lstm_layers),
+        "rvq": rvq_state(sd, "quantizer"),
+    }
+
+
+def _mha(sd: StateDict, prefix: str) -> tp.Dict[str, Array]:
+    """torch nn.MultiheadAttention (packed in_proj) -> our StreamingMHA
+    (separate q/k/v Dense)."""
+    w = _t(sd[f"{prefix}.in_proj_weight"])  # (3E, E)
+    b = _t(sd[f"{prefix}.in_proj_bias"])  # (3E,)
+    E = w.shape[1]
+    out = {}
+    for i, name in enumerate(["q", "k", "v"]):
+        out[name] = {"kernel": w[i * E:(i + 1) * E].T, "bias": b[i * E:(i + 1) * E]}
+    out["out"] = dense(sd, f"{prefix}.out_proj")
+    return out
+
+
+def _ln(sd: StateDict, prefix: str) -> tp.Dict[str, Array]:
+    return {"scale": _t(sd[f"{prefix}.weight"]), "bias": _t(sd[f"{prefix}.bias"])}
+
+
+def streaming_transformer(sd: StateDict, prefix: str = "transformer",
+                          num_layers: int = 5) -> tp.Dict[str, tp.Any]:
+    """StreamingTransformerEncoder params from the torch layout
+    (reference transformer_encodec.py:62-119)."""
+    base = (prefix + ".") if prefix else ""
+    out: tp.Dict[str, tp.Any] = {}
+    if f"{base}norm_in.weight" in sd:
+        out["norm_in"] = _ln(sd, f"{base}norm_in")
+    for i in range(num_layers):
+        p = f"{base}layers.{i}"
+        out[f"layer_{i}"] = {
+            "norm1": _ln(sd, f"{p}.norm1"),
+            "norm2": _ln(sd, f"{p}.norm2"),
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "linear1": dense(sd, f"{p}.linear1"),
+            "linear2": dense(sd, f"{p}.linear2"),
+        }
+    return out
+
+
+def lm_model(sd: StateDict, n_q: int = 32, num_layers: int = 5) -> tp.Dict[str, tp.Any]:
+    """LMModel params (reference model-checkpoint.py:32-70): per-codebook
+    embeddings + linears + the streaming transformer."""
+    out: tp.Dict[str, tp.Any] = {
+        "transformer": streaming_transformer(sd, "transformer", num_layers)
+    }
+    for k in range(n_q):
+        out[f"emb_{k}"] = {"embedding": _t(sd[f"emb.{k}.weight"])}
+        out[f"linear_{k}"] = dense(sd, f"linears.{k}")
+    return {"params": out}
