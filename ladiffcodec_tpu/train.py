@@ -291,7 +291,28 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     write_on_every = 5 if not inp_args.debug else 1
     rng = jax.random.PRNGKey(42)
 
+    # preemption safety (the failure handling the reference lacks, SURVEY
+    # §5.3): SIGTERM triggers a full-TrainState checkpoint, so --finetune_model
+    # resumes with optimizer state intact.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+
+    try:
+        signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:
+        pass  # not on the main thread (e.g. under a test runner)
+
     for step_i in range(inp_args.steps):
+        if preempted["flag"]:
+            if inp_args.exp_name:
+                save_checkpoint(state, inp_args.output_dir, inp_args.exp_name,
+                                note="preempt")
+                print("SIGTERM: saved model_preempt, exiting")
+            break
         if step_i == 0:
             print("Starts training ...")
         train_loader.set_epoch(step_i)
