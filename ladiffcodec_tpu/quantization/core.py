@@ -185,13 +185,23 @@ def rvq_forward(
     epsilon: float = 1e-5,
     threshold_ema_dead_code: float = 2.0,
     axis_name: tp.Optional[str] = None,
+    expiry_compat: bool = False,
 ) -> RVQOutput:
     """Residual VQ over the first `n_q` stages as one `lax.scan`.
 
     x: (B, T, dim).  In training mode also applies the EMA codebook update
-    (+ laplace-smoothed normalization) and dead-code expiry, exactly the
-    reference recipe (core_vq.py:205-229), with stats `psum`-reduced over
-    `axis_name` when set.
+    (+ laplace-smoothed normalization) and dead-code expiry, the reference
+    recipe (core_vq.py:205-229), with stats `psum`-reduced over `axis_name`
+    when set.
+
+    Dead-code expiry: in the reference the replacement written to `embed` is
+    immediately overwritten by the EMA normalization (`embed =
+    embed_avg/cluster_size` runs after `expire_codes_`, core_vq.py:218-227),
+    so expiry is a no-op during training and the codebook relies entirely on
+    k-means init to avoid collapse.  Here expiry is EFFECTIVE by default:
+    expired codes also reset their EMA statistics (embed_avg <- replacement,
+    cluster_size <- threshold) so revived codes survive the normalization.
+    Set `expiry_compat=True` to reproduce the reference no-op exactly.
     """
     B, T, dim = x.shape
     assert 1 <= n_q <= state.n_q, (
@@ -235,6 +245,10 @@ def rvq_forward(
                 is0 = (jax.lax.axis_index(axis_name) == 0).astype(replacement.dtype)
                 replacement = jax.lax.psum(replacement * is0, axis_name)
             embed = jnp.where(expired[:, None], replacement, embed)
+            if not expiry_compat:
+                # make the revival survive the EMA normalization below
+                avg = jnp.where(expired[:, None], replacement * threshold_ema_dead_code, avg)
+                size = jnp.where(expired, jnp.asarray(threshold_ema_dead_code, size.dtype), size)
 
             size = size * decay + counts * (1.0 - decay)
             avg = avg * decay + embed_sum * (1.0 - decay)

@@ -1,0 +1,76 @@
+"""Does it actually learn?  Short optimization runs must reduce the loss,
+and checkpoints written by the trainer must load in the sampler."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
+from ladiffcodec_tpu.training import TrainState, make_train_step
+
+
+def _sine_batch(key, B=4, L=320):
+    f = jax.random.uniform(key, (B, 1, 1), minval=100.0, maxval=400.0)
+    t = jnp.arange(L)[None, :, None] / 16000.0
+    return 0.5 * jnp.sin(2 * jnp.pi * f * t)
+
+
+def test_continuous_ae_loss_decreases():
+    m = DiffAudioRep(enc_ratios=(8, 4), rep_dims=16, n_filters=8, lstm=0)
+    x0 = _sine_batch(jax.random.PRNGKey(0))
+    v = m.init(jax.random.PRNGKey(1), x0)
+    opt = optax.adam(1e-3)
+    state = TrainState(step=jnp.asarray(0), params=v["params"], quantizer={},
+                       opt_state=opt.init(v["params"]))
+    step = jax.jit(make_train_step(m, opt))
+
+    losses = []
+    for i in range(40):
+        k = jax.random.PRNGKey(i)
+        state, metrics = step(state, _sine_batch(jax.random.fold_in(k, 1)), k)
+        losses.append(float(metrics["neg_sdr"]))
+    # neg-SDR must improve markedly over 40 steps on this trivial task
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) - 3.0, (
+        losses[:5], losses[-5:]
+    )
+
+
+def test_rvq_codebook_converges_to_clusters():
+    from ladiffcodec_tpu.quantization import init_rvq_state, rvq_forward
+
+    key = jax.random.PRNGKey(0)
+    centers = jax.random.normal(key, (4, 8)) * 3.0
+    state = init_rvq_state(jax.random.PRNGKey(1), n_q=1, bins=4, dim=8,
+                           kmeans_init=False)
+    for i in range(150):
+        k = jax.random.fold_in(key, i)
+        idx = jax.random.randint(k, (64,), 0, 4)
+        x = centers[idx] + 0.05 * jax.random.normal(jax.random.fold_in(k, 1), (64, 8))
+        out = rvq_forward(state, x[None], 1, training=True, key=jax.random.fold_in(k, 2))
+        state = out.state
+    # every center has a codebook entry within noise distance
+    d = jnp.linalg.norm(centers[:, None, :] - state.embed[0][None, :, :], axis=-1)
+    assert float(jnp.max(jnp.min(d, axis=1))) < 0.5
+
+
+def test_train_checkpoint_loads_in_sampler(tmp_path):
+    """TrainState checkpoints saved by the trainer restore into the sampler's
+    variables fallback path."""
+    from ladiffcodec_tpu.utils.checkpoint import save_checkpoint, load_checkpoint_path
+
+    m = DiffAudioRep(enc_ratios=(8, 4), rep_dims=8, n_filters=4, lstm=0)
+    x = _sine_batch(jax.random.PRNGKey(0), B=1)
+    v = m.init(jax.random.PRNGKey(1), x)
+    opt = optax.adam(1e-3)
+    state = TrainState(step=jnp.asarray(3), params=v["params"], quantizer={},
+                       opt_state=opt.init(v["params"]))
+    save_checkpoint(state, str(tmp_path), "exp", note="best")
+
+    # template-free restore (what sample.py falls back to)
+    raw = load_checkpoint_path(None, tmp_path / "exp" / "model_best")
+    assert "params" in raw and "opt_state" in raw
+    y1 = m.apply({"params": raw["params"]}, x)[1]["x_hat"]
+    y2 = m.apply(v, x)[1]["x_hat"]
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y2), rtol=1e-6)

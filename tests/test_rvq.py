@@ -96,7 +96,11 @@ def test_dp_psum_sync_makes_replicas_agree():
     state = init_rvq_state(key, n_q=2, bins=8, dim=4, kmeans_init=False)
 
     def step(state, x, axis_name=None):
-        out = rvq_forward(state, x, 2, training=True, key=jax.random.PRNGKey(1), axis_name=axis_name)
+        # threshold 0 disables expiry (reference core_vq.py:159): replacement
+        # sampling is per-shard and would otherwise differ from the
+        # full-batch run
+        out = rvq_forward(state, x, 2, training=True, key=jax.random.PRNGKey(1),
+                          axis_name=axis_name, threshold_ema_dead_code=0.0)
         return out.state
 
     f = shard_map(
