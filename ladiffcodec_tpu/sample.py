@@ -90,6 +90,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--bucket_s", type=float, default=0.0,
                         help="pad files up to multiples of this many seconds "
                              "to bound recompilation (0 = exact lengths)")
+    parser.add_argument("--decode_batch", type=int, default=1,
+                        help="decode this many same-bucket files per device "
+                             "call (throughput peaks around 16 on v5e)")
     return parser
 
 
@@ -144,7 +147,8 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args):
         raw = model.apply(
             variables, cond, method=lambda m, c: m.diff_model.cond_upsampler(c)
         )
-        img = raw / (jnp.max(jnp.abs(raw)) + 1e-8)
+        B = raw.shape[0]
+        img = raw / (jnp.max(jnp.abs(raw.reshape(B, -1)), axis=1)[:, None, None] + 1e-8)
         cond_p = img if inp_args.unet_scale_cond else raw
         diffusion = model.diffusion
         cdtype = jnp.bfloat16 if inp_args.compute_dtype == "bfloat16" else jnp.float32
@@ -170,8 +174,13 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args):
             sample = diffusion.halfway_sampling(model_fn, img, midway_t, key, cond_p)
         x_hat = model.apply(variables, sample.astype(cdtype), method="decode")
         x_hat = x_hat.astype(jnp.float32)
-        x_hat = x_hat / (jnp.std(x_hat.flatten()) + 1e-8)
-        x_hat = x_hat / (jnp.max(jnp.abs(x_hat.flatten())) + 1e-8)
+        # per-example normalization (the reference normalizes per file,
+        # sample.py:133-134; batched decode must not mix examples)
+        B = x_hat.shape[0]
+        flat = x_hat.reshape(B, -1)
+        x_hat = x_hat / (jnp.std(flat, axis=1)[:, None, None] + 1e-8)
+        flat = x_hat.reshape(B, -1)
+        x_hat = x_hat / (jnp.max(jnp.abs(flat), axis=1)[:, None, None] + 1e-8)
         return x_hat
 
     return decode
@@ -204,27 +213,40 @@ def synthesis(inp_args) -> None:
 
     key = jax.random.PRNGKey(1234)
     files = sorted(glob.glob(os.path.join(inp_args.input_dir, "**/*.wav"), recursive=True))
-    for wav_file in files:
-        local = wav_file[len(inp_args.input_dir):][: -4]
-        save_path = inp_args.output_dir + local
-        os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
 
+    # group files by padded length so same-shape files share one compilation
+    # and (with --decode_batch > 1) one device call
+    def padded_len(length: int) -> int:
+        if inp_args.bucket_s > 0:
+            bucket = int(inp_args.bucket_s * 16000) // 640 * 640
+            return ((length + bucket - 1) // bucket) * bucket
+        return length
+
+    loaded = []
+    for wav_file in files:
         audio, sr = read_wav(wav_file)
         audio = resample(audio, sr, 16000)
         length = audio.shape[-1] // 640 * 640
-        if inp_args.bucket_s > 0:
-            bucket = int(inp_args.bucket_s * 16000) // 640 * 640
-            padded = ((length + bucket - 1) // bucket) * bucket
-        else:
-            padded = length
-        x = np.zeros((1, padded, 1), np.float32)
-        x[0, :length, 0] = audio[0, :length]
+        loaded.append((wav_file, audio[0, :length], padded_len(length)))
 
-        key, sub = jax.random.split(key)
-        y = decode(jnp.asarray(x), sub, inp_args.midway_t)
-        y = np.asarray(y)[0, :length, 0]
-        write_wav(save_path + ".wav", y, 16000)
-        print(f"{wav_file} -> {save_path}.wav")
+    groups: tp.Dict[int, list] = {}
+    for item in loaded:
+        groups.setdefault(item[2], []).append(item)
+
+    for padded, items in sorted(groups.items()):
+        for i in range(0, len(items), inp_args.decode_batch):
+            chunk = items[i : i + inp_args.decode_batch]
+            x = np.zeros((len(chunk), padded, 1), np.float32)
+            for b, (_, audio, _) in enumerate(chunk):
+                x[b, : len(audio), 0] = audio
+            key, sub = jax.random.split(key)
+            y = np.asarray(decode(jnp.asarray(x), sub, inp_args.midway_t))
+            for b, (wav_file, audio, _) in enumerate(chunk):
+                local = wav_file[len(inp_args.input_dir):][: -4]
+                save_path = inp_args.output_dir + local
+                os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+                write_wav(save_path + ".wav", y[b, : len(audio), 0], 16000)
+                print(f"{wav_file} -> {save_path}.wav")
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
