@@ -60,9 +60,12 @@ def main() -> None:
     )
 
     x = jnp.asarray(np.random.RandomState(0).randn(BATCH, L, 1).astype(np.float32) * 0.1)
-    cond_vars = cond_model.init(jax.random.PRNGKey(1), x)
-    cond = cond_model.apply(cond_vars, x, method="get_cond")
-    variables = model.init(jax.random.PRNGKey(2), x, cond=cond)
+    # init at batch 1: params are batch-independent; avoids compiling the
+    # full training-shaped graphs twice
+    x1 = x[:1]
+    cond_vars = cond_model.init(jax.random.PRNGKey(1), x1)
+    cond = cond_model.apply(cond_vars, x1, method="get_cond")
+    variables = model.init(jax.random.PRNGKey(2), x1, cond=cond)
 
     diffusion = model.diffusion
 

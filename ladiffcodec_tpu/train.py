@@ -96,6 +96,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="EMA shadow of params (0 = off; reference builds "
                              "but never enables EMA, utils.py:182/train.py:361)")
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="write a jax.profiler trace of training steps "
+                             "2-6 of the first epoch to this directory")
     parser.add_argument("--melspec_compat", action="store_true",
                         help="reproduce the reference's single-scale melspec-loss bug")
     return parser
@@ -319,7 +322,14 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         t0 = time.time()
         tot: tp.Dict[str, float] = {}
         n = 0
+        tracing = False
         for batch in train_loader:
+            if inp_args.profile_dir and step_i == 0 and n == 1 and not tracing:
+                jax.profiler.start_trace(inp_args.profile_dir)
+                tracing = True
+            if tracing and n == 4:
+                jax.profiler.stop_trace()
+                tracing = False
             rng, sub = jax.random.split(rng)
             batch = jnp.asarray(batch)
             if inp_args.use_disc:
@@ -334,6 +344,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             n += 1
             if inp_args.debug:
                 break
+        if tracing:
+            jax.profiler.stop_trace()
         tr_losses = {k: v / max(n, 1) for k, v in tot.items()}
 
         if step_i % write_on_every == 0:
