@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import math
 import typing as tp
-from functools import partial
+
 
 import numpy as np
 import jax

@@ -13,12 +13,12 @@ import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
 
 from .encodec_model import EncodecModel
 from ..data.librispeech import DatasetLibri
 from ..data.audio_io import write_wav
-from ..losses.losses_fn import neg_sdsdr, cal_sdr
+# (si_snr implemented below; sdr metrics available from ..losses)
 
 
 def si_snr(ref: np.ndarray, est: np.ndarray, eps: float = 1e-8) -> float:

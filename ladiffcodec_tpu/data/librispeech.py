@@ -20,7 +20,7 @@ from __future__ import annotations
 import glob
 import os
 import queue
-import threading
+
 import typing as tp
 from concurrent.futures import ThreadPoolExecutor
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..ops.conv import SConvTranspose1d, _kaiming_uniform_conv, weight_normed
+from ..ops.conv import SConvTranspose1d, _kaiming_uniform_conv
 
 Dtype = tp.Any
 

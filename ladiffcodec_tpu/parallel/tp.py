@@ -20,7 +20,7 @@ import typing as tp
 
 import numpy as np
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TP_AXIS = "tp"

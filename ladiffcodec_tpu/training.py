@@ -10,7 +10,7 @@ deadlock guard (collective order is fixed by the program).
 from __future__ import annotations
 
 import typing as tp
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

@@ -8,11 +8,11 @@ Layout mirrors the reference filenames: `{output_dir}/{exp_name}/model_{note}`
 
 from __future__ import annotations
 
-import os
+
 import typing as tp
 from pathlib import Path
 
-import jax
+
 import orbax.checkpoint as ocp
 
 
