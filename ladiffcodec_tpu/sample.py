@@ -199,7 +199,6 @@ def synthesis(inp_args) -> None:
 
     variables = model.init(jax.random.PRNGKey(0), example, cond=example_cond)
     if inp_args.model_path:
-
         try:
             variables = load_checkpoint_path(variables, inp_args.model_path)
         except Exception:
