@@ -93,6 +93,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--decode_batch", type=int, default=1,
                         help="decode this many same-bucket files per device "
                              "call (throughput peaks around 16 on v5e)")
+    parser.add_argument("--segment_s", type=float, default=0.0,
+                        help="decode in fixed segments of this many seconds "
+                             "with 1%% triangle-crossfade overlap-add (one "
+                             "compiled shape for ANY file length; the EnCodec "
+                             "long-audio strategy applied to the diffusion "
+                             "path). 0 = whole-file decode")
     return parser
 
 
@@ -136,7 +142,7 @@ def build_main_model(inp_args) -> DiffAudioRep:
     )
 
 
-def make_decode_fn(model, variables, cond_model, cond_vars, inp_args):
+def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=True):
     """One jitted function: wav -> cond codec -> diffusion decode -> wav."""
 
     @partial(jax.jit, static_argnums=(2,))
@@ -174,13 +180,14 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args):
             sample = diffusion.halfway_sampling(model_fn, img, midway_t, key, cond_p)
         x_hat = model.apply(variables, sample.astype(cdtype), method="decode")
         x_hat = x_hat.astype(jnp.float32)
-        # per-example normalization (the reference normalizes per file,
-        # sample.py:133-134; batched decode must not mix examples)
-        B = x_hat.shape[0]
-        flat = x_hat.reshape(B, -1)
-        x_hat = x_hat / (jnp.std(flat, axis=1)[:, None, None] + 1e-8)
-        flat = x_hat.reshape(B, -1)
-        x_hat = x_hat / (jnp.max(jnp.abs(flat), axis=1)[:, None, None] + 1e-8)
+        if normalize:
+            # per-example normalization (the reference normalizes per file,
+            # sample.py:133-134; batched decode must not mix examples)
+            B = x_hat.shape[0]
+            flat = x_hat.reshape(B, -1)
+            x_hat = x_hat / (jnp.std(flat, axis=1)[:, None, None] + 1e-8)
+            flat = x_hat.reshape(B, -1)
+            x_hat = x_hat / (jnp.max(jnp.abs(flat), axis=1)[:, None, None] + 1e-8)
         return x_hat
 
     return decode
@@ -207,10 +214,45 @@ def synthesis(inp_args) -> None:
             if state.get("quantizer"):
                 variables["quantizer"] = state["quantizer"]
 
-    decode = make_decode_fn(model, variables, cond_model, cond_vars, inp_args)
+    segmented = inp_args.segment_s > 0
+    decode = make_decode_fn(
+        model, variables, cond_model, cond_vars, inp_args, normalize=not segmented
+    )
 
     key = jax.random.PRNGKey(1234)
     files = sorted(glob.glob(os.path.join(inp_args.input_dir, "**/*.wav"), recursive=True))
+
+    if segmented:
+        from .bitstream.encodec_model import linear_overlap_add
+
+        seg_len = max(int(inp_args.segment_s * 16000) // 640 * 640, 640)
+        stride = max(640, int(seg_len * 0.99) // 640 * 640)
+        for wav_file in files:
+            audio, sr = read_wav(wav_file)
+            audio = resample(audio, sr, 16000)[0]
+            length = max(len(audio) // 640 * 640, 640)
+            audio = audio[:length]
+            offsets = list(range(0, length, stride))
+            segs = np.zeros((len(offsets), seg_len, 1), np.float32)
+            for i, off in enumerate(offsets):
+                part = audio[off : off + seg_len]
+                segs[i, : len(part), 0] = part
+            outs = []
+            for i in range(0, len(offsets), max(inp_args.decode_batch, 1)):
+                batch = segs[i : i + max(inp_args.decode_batch, 1)]
+                key, sub = jax.random.split(key)
+                outs.append(np.asarray(decode(jnp.asarray(batch), sub, inp_args.midway_t)))
+            decoded = np.concatenate(outs, axis=0)[..., 0]  # (n_seg, seg_len)
+            y = linear_overlap_add([decoded[i] for i in range(len(offsets))], stride)
+            y = y[:length]
+            y = y / (np.std(y) + 1e-8)
+            y = y / (np.max(np.abs(y)) + 1e-8)
+            local = wav_file[len(inp_args.input_dir):][: -4]
+            save_path = inp_args.output_dir + local
+            os.makedirs(os.path.dirname(save_path) or ".", exist_ok=True)
+            write_wav(save_path + ".wav", y, 16000)
+            print(f"{wav_file} -> {save_path}.wav [{len(offsets)} segments]")
+        return
 
     # group files by padded length so same-shape files share one compilation
     # and (with --decode_batch > 1) one device call
