@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from .models.diff_rep import DiffAudioRep, DiffAudioTime
 from .data.audio_io import read_wav, write_wav, resample
-from .utils.checkpoint import load_checkpoint_path
+from .utils.checkpoint import load_checkpoint_path, load_model_variables
 from .train import build_cond_model
 
 
@@ -201,18 +201,12 @@ def synthesis(inp_args) -> None:
     cond_model = build_cond_model(inp_args, quantization=True)
     cond_vars = cond_model.init(jax.random.PRNGKey(1), example)
     if inp_args.model_for_cond:
-        cond_vars = load_checkpoint_path(cond_vars, inp_args.model_for_cond)
+        cond_vars = load_model_variables(cond_vars, inp_args.model_for_cond)
     example_cond = cond_model.apply(cond_vars, example, method="get_cond")
 
     variables = model.init(jax.random.PRNGKey(0), example, cond=example_cond)
     if inp_args.model_path:
-        try:
-            variables = load_checkpoint_path(variables, inp_args.model_path)
-        except Exception:
-            state = load_checkpoint_path(None, inp_args.model_path)
-            variables = {"params": state["params"]}
-            if state.get("quantizer"):
-                variables["quantizer"] = state["quantizer"]
+        variables = load_model_variables(variables, inp_args.model_path)
 
     segmented = inp_args.segment_s > 0
     decode = make_decode_fn(

@@ -34,7 +34,7 @@ from .training import (
     make_gan_train_step,
     shard_map_step,
 )
-from .utils.checkpoint import save_checkpoint, load_checkpoint_path
+from .utils.checkpoint import save_checkpoint, load_checkpoint_path, load_model_variables
 from .utils.logging import log_params, logging_step
 import optax
 
@@ -210,7 +210,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     if other_cond:
         cond_model = build_cond_model(inp_args)
         cond_vars = cond_model.init(jax.random.PRNGKey(1), example)
-        cond_vars = load_checkpoint_path(cond_vars, inp_args.model_for_cond + "/model_best")
+        cond_vars = load_model_variables(cond_vars, inp_args.model_for_cond + "/model_best")
         example_cond = cond_model.apply(cond_vars, example, method="get_cond")
 
     variables = model.init(key, example, cond=example_cond)

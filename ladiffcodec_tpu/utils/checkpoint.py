@@ -38,3 +38,36 @@ def load_checkpoint(state_template, output_dir: str, exp_name: str, note: str = 
 def load_checkpoint_path(state_template, path: tp.Union[str, Path]):
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(Path(path).resolve(), state_template)
+
+
+def load_model_variables(variables_template, path: tp.Union[str, Path]):
+    """Restore model variables from either a raw variables checkpoint or a
+    full TrainState checkpoint written by the trainer (which nests them under
+    params/quantizer next to optimizer state)."""
+    try:
+        return load_checkpoint_path(variables_template, path)
+    except Exception:
+        raw = load_checkpoint_path(None, path)
+        if "params" not in raw:
+            raise
+        variables = {"params": raw["params"]}
+        if raw.get("quantizer"):
+            variables["quantizer"] = _rebuild_quantizer(raw["quantizer"])
+        return variables
+
+
+def _rebuild_quantizer(q):
+    """Template-free orbax restore flattens RVQState into a plain dict;
+    rebuild the struct the model expects."""
+    state = q.get("state", q)
+    if isinstance(state, dict):
+        from ..quantization.core import RVQState
+        import jax.numpy as jnp
+
+        state = RVQState(
+            embed=jnp.asarray(state["embed"]),
+            embed_avg=jnp.asarray(state["embed_avg"]),
+            cluster_size=jnp.asarray(state["cluster_size"]),
+            inited=jnp.asarray(state["inited"]),
+        )
+    return {"state": state}
