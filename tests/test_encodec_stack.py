@@ -136,3 +136,26 @@ def test_balancer_reference_values():
     b = Balancer(weights={"1": 1, "2": 1}, rescale_grads=True)
     cot, _, _ = b.cotangent(b.init_state(), loss_fns, x)
     np.testing.assert_allclose(np.asarray(cot), [0.0], atol=1e-5)
+
+
+def test_compress_lm_multisegment_roundtrip():
+    """LM entropy coding across MULTIPLE segments with volume normalization:
+    exercises the native arithmetic decoder's byte-position restore
+    (compress.py fo.seek(mark + decoder.tell()))."""
+    from ladiffcodec_tpu.models.streaming_transformer import LMModel
+
+    m = tiny_model(segment=0.1, normalize=True)  # 1600-sample segments
+    v = m.init_variables(jax.random.PRNGKey(0), example_len=1600)
+    m.set_target_bandwidth(1.5)
+    lm = LMModel(n_q=m.quantizer.n_q, card=1024, dim=32, num_layers=1, past_context=8)
+    lm_vars = lm.init(jax.random.PRNGKey(1), np.zeros((1, m.quantizer.n_q, 1), np.int32))
+
+    wav = np.random.RandomState(3).randn(1, 4000).astype(np.float32) * 0.1
+    data = compress(m, v, wav, use_lm=True, lm=lm, lm_vars=lm_vars)
+    out, sr = decompress(data, variables=v, model=m, lm=lm, lm_vars=lm_vars)
+    assert out.shape == wav.shape
+
+    # the decoded frames must match a direct encode->decode (code-exact)
+    frames = m.encode(v, np.moveaxis(wav, 0, -1)[None])
+    direct = np.moveaxis(m.decode(v, frames)[0], -1, 0)[:, : wav.shape[-1]]
+    np.testing.assert_allclose(out, direct, rtol=1e-4, atol=1e-5)
