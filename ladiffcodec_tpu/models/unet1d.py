@@ -118,21 +118,59 @@ def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+class _GNParams(nn.Module):
+    """GroupNorm-compatible parameter holder (same names/shapes as
+    nn.GroupNorm) for the fused Pallas path."""
+
+    feats: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.feats,))
+        bias = self.param("bias", nn.initializers.zeros, (self.feats,))
+        return scale, bias
+
+
 class Block(nn.Module):
     """WS-conv → GroupNorm → (FiLM) → SiLU (reference unet.py:137-154).
 
     dtype discipline: GroupNorm and the FiLM multiply stay in the activation
     dtype (bf16 inference) — flax defaults would silently promote everything
     back to f32 after the first norm.
+
+    fused_norm: inference-only Pallas fusion of norm+FiLM+SiLU into one HBM
+    read/write (ops/pallas_norm.py); False = plain XLA ops (training path,
+    identical params), "interpret" = fused kernel in interpreter mode (CPU
+    tests).
     """
 
     dim_out: int
     groups: int = 8
+    fused_norm: tp.Any = False
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = WeightStandardizedConv1d(self.dim_out, 3, padding=1, name="proj")(x)
-        x = nn.GroupNorm(num_groups=self.groups, dtype=x.dtype, name="norm")(x)
+
+        if self.fused_norm:
+            from ..ops.pallas_norm import fused_groupnorm_film_silu, fused_norm_supported
+
+            if fused_norm_supported(x, self.groups):
+                gamma, beta = _GNParams(self.dim_out, name="norm")()
+                B, T, C = x.shape
+                if scale_shift is not None:
+                    sc, sh = scale_shift
+                    sc = jnp.broadcast_to(sc, (B, 1, C)).reshape(B, C)
+                    sh = jnp.broadcast_to(sh, (B, 1, C)).reshape(B, C)
+                else:
+                    sc = jnp.zeros((B, C), jnp.float32)
+                    sh = jnp.zeros((B, C), jnp.float32)
+                return fused_groupnorm_film_silu(
+                    x, gamma, beta, sc, sh, self.groups,
+                    interpret=(self.fused_norm == "interpret"),
+                )
+
+        x = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5, dtype=x.dtype, name="norm")(x)
         if scale_shift is not None:
             scale, shift = scale_shift
             x = x * (scale.astype(x.dtype) + 1.0) + shift.astype(x.dtype)
@@ -152,6 +190,7 @@ class ResnetBlock(nn.Module):
     groups: int = 8
     use_film: bool = False
     inp_dim: int = 128
+    fused_norm: tp.Any = False
 
     @nn.compact
     def __call__(self, x, t_emb=None, x_cond=None):
@@ -164,8 +203,8 @@ class ResnetBlock(nn.Module):
             h = nn.Dense(self.dim_out * 2, name="mlp")(nn.silu(t_emb))
             h = h[:, None, :]  # (B, 1, 2*dim)
             scale_shift = tuple(jnp.split(h, 2, axis=-1))
-        h = Block(self.dim_out, groups=self.groups, name="block1")(x, scale_shift)
-        h = Block(self.dim_out, groups=self.groups, name="block2")(h)
+        h = Block(self.dim_out, groups=self.groups, fused_norm=self.fused_norm, name="block1")(x, scale_shift)
+        h = Block(self.dim_out, groups=self.groups, fused_norm=self.fused_norm, name="block2")(h)
         if x.shape[-1] != self.dim_out:
             res = PlainConv1d(self.dim_out, 1, name="res_conv")(x)
         else:
@@ -294,6 +333,7 @@ class Unet1D(nn.Module):
     unet_scale_x: bool = False
     unet_scale_cond: bool = True
     upsampling_ratios: tp.Optional[tp.Sequence[int]] = (5, 4, 2)
+    fused_norm: tp.Any = False  # inference-only Pallas norm fusion
 
     @property
     def channels(self) -> int:
@@ -348,13 +388,14 @@ class Unet1D(nn.Module):
         h = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= len(in_out) - 1
-            x = ResnetBlock(dim_in, groups=groups, name=f"down_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_in, groups=groups, fused_norm=self.fused_norm, name=f"down_{ind}_block1")(x, t)
             h.append(x)
             x = ResnetBlock(
                 dim_in,
                 groups=groups,
                 use_film=self.use_film,
                 inp_dim=self.inp_channels,
+                fused_norm=self.fused_norm,
                 name=f"down_{ind}_block2",
             )(x, t, x_cond)
             x = PreNormResidual(dim_in, linear=True, name=f"down_{ind}_attn")(x)
@@ -365,17 +406,18 @@ class Unet1D(nn.Module):
                 x = PlainConv1d(dim_out, 3, padding=1, name=f"down_{ind}_conv")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(mid_dim, groups=groups, name="mid_block1")(x, t)
+        x = ResnetBlock(mid_dim, groups=groups, fused_norm=self.fused_norm, name="mid_block1")(x, t)
         x = PreNormResidual(mid_dim, linear=False, name="mid_attn")(x)
-        x = ResnetBlock(mid_dim, groups=groups, name="mid_block2")(x, t)
+        x = ResnetBlock(mid_dim, groups=groups, fused_norm=self.fused_norm, name="mid_block2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == len(in_out) - 1
             x = jnp.concatenate([x, h.pop()], axis=-1)
-            x = ResnetBlock(dim_out, groups=groups, name=f"up_{ind}_block1")(x, t)
+            x = ResnetBlock(dim_out, groups=groups, fused_norm=self.fused_norm, name=f"up_{ind}_block1")(x, t)
             x = jnp.concatenate([x, h.pop()], axis=-1)
             x = ResnetBlock(
-                dim_out, groups=groups, use_film=self.use_film, name=f"up_{ind}_block2"
+                dim_out, groups=groups, use_film=self.use_film,
+                fused_norm=self.fused_norm, name=f"up_{ind}_block2"
             )(x, t, x_cond)
             x = PreNormResidual(dim_out, linear=True, name=f"up_{ind}_attn")(x)
             if not is_last:
@@ -383,7 +425,7 @@ class Unet1D(nn.Module):
             x = PlainConv1d(dim_in, 3, padding=1, name=f"up_{ind}_upsample")(x)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(dim, groups=groups, name="final_res_block")(x, t)
+        x = ResnetBlock(dim, groups=groups, fused_norm=self.fused_norm, name="final_res_block")(x, t)
         x = jnp.tanh(x)
         out_ch = self.out_dim or self.inp_channels * (1 if not self.learned_variance else 2)
         return PlainConv1d(out_ch, 1, name="final_conv")(x)

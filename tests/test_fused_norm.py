@@ -1,0 +1,44 @@
+"""Fused GroupNorm+FiLM+SiLU Pallas path: kernel equality vs flax ops, and
+whole-UNet equality fused (interpret) vs unfused with shared params."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from ladiffcodec_tpu.ops.pallas_norm import fused_groupnorm_film_silu
+from ladiffcodec_tpu.models.unet1d import Unet1D
+
+
+def test_kernel_matches_flax_ops():
+    B, T, C, G = 2, 64, 128, 8
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(B, T, C).astype(np.float32))
+    gamma = jnp.asarray(rng.randn(C).astype(np.float32))
+    beta = jnp.asarray(rng.randn(C).astype(np.float32))
+    sc = jnp.asarray(rng.randn(B, C).astype(np.float32))
+    sh = jnp.asarray(rng.randn(B, C).astype(np.float32))
+
+    gn = nn.GroupNorm(num_groups=G, epsilon=1e-5)
+    ref = gn.apply({"params": {"scale": gamma, "bias": beta}}, x)
+    ref = nn.silu(ref * (sc[:, None, :] + 1.0) + sh[:, None, :])
+    out = fused_groupnorm_film_silu(x, gamma, beta, sc, sh, G, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_unet_fused_equals_unfused():
+    """Same params, same input: fused_norm='interpret' must reproduce the
+    plain path (param trees are identical by construction)."""
+    kw = dict(dim=128, dim_mults=(1, 2), inp_channels=128)  # C=128/256: the fused kernel actually dispatches
+    unet = Unet1D(**kw)
+    unet_fused = Unet1D(**kw, fused_norm="interpret")
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 32, 128))
+    t = jnp.array([7])
+    params = unet.init(jax.random.PRNGKey(1), x, t)
+    params2 = unet_fused.init(jax.random.PRNGKey(1), x, t)
+    # identical param trees
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(params2)
+
+    y0 = unet.apply(params, x, t)
+    y1 = unet_fused.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0), rtol=1e-4, atol=1e-5)
