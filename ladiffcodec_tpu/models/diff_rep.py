@@ -89,6 +89,7 @@ class DiffAudioRep(nn.Module):
     rvq_kmeans_iters: int = 50
     rvq_threshold_ema_dead_code: float = 2.0
     # diffusion
+    fused_norm: tp.Any = False  # inference-only Pallas norm fusion in Unet1D
     timesteps: int = 1000
     beta_schedule: str = "cosine"
     diff_objective: str = "pred_noise"
@@ -177,6 +178,7 @@ class DiffAudioRep(nn.Module):
                     else None,
                     unet_scale_x=self.unet_scale_x,
                     unet_scale_cond=self.unet_scale_cond,
+                    fused_norm=self.fused_norm,
                 )
             elif self.model_type == "transformer":
                 from .transformer import TransformerDDPM

@@ -27,11 +27,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(x_ref, gamma_ref, beta_ref, sc_ref, sh_ref, m_ref, o_ref, *, eps):
+def _kernel(x_ref, gamma_ref, beta_ref, sc_ref, sh_ref, m_ref, o_ref, *, eps, groups):
     x = x_ref[0].astype(jnp.float32)  # (T, C)
     T, C = x.shape
-    M = m_ref[:]  # (C, G) 0/1
-    n = T * (C / M.shape[1])  # elements per group
+    M = m_ref[:]  # (C, Gp) 0/1, zero-padded beyond the real group count
+    n = T * C / groups  # elements per group
 
     col_sum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
     col_sq = jnp.sum(x * x, axis=0, keepdims=True)
@@ -45,7 +45,7 @@ def _kernel(x_ref, gamma_ref, beta_ref, sc_ref, sh_ref, m_ref, o_ref, *, eps):
 
     y = (x - mean_c) * inv_c
     y = y * gamma_ref[:] + beta_ref[:]
-    y = y * (sc_ref[:] + 1.0) + sh_ref[:]
+    y = y * (sc_ref[0] + 1.0) + sh_ref[0]
     o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
 
 
@@ -64,21 +64,24 @@ def fused_groupnorm_film_silu(
     example, broadcast over T).  Returns silu(film(groupnorm(x)))."""
     B, T, C = x.shape
     assert C % groups == 0
-    M = np.zeros((C, groups), np.float32)
+    # lane-pad the group axis to 128 (Mosaic tile constraint); padded
+    # columns are all-zero so they contribute nothing
+    Gp = max(128, groups)
+    M = np.zeros((C, Gp), np.float32)
     for g in range(groups):
         M[g * (C // groups) : (g + 1) * (C // groups), g] = 1.0
 
     out = pl.pallas_call(
-        functools.partial(_kernel, eps=eps),
+        functools.partial(_kernel, eps=eps, groups=groups),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, groups), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, Gp), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, T, C), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
@@ -86,8 +89,8 @@ def fused_groupnorm_film_silu(
         x,
         gamma.reshape(1, C).astype(jnp.float32),
         beta.reshape(1, C).astype(jnp.float32),
-        scale.reshape(B, C).astype(jnp.float32),
-        shift.reshape(B, C).astype(jnp.float32),
+        scale.reshape(B, 1, C).astype(jnp.float32),
+        shift.reshape(B, 1, C).astype(jnp.float32),
         jnp.asarray(M),
     )
     return out
