@@ -92,3 +92,34 @@ def test_scaling_modes():
             np.testing.assert_allclose(np.asarray(y), np.asarray(x) / GLOBAL_SCALE, rtol=1e-6)
         else:
             assert float(jnp.max(jnp.abs(y))) <= 1.0 + 1e-5
+
+
+def test_vae_branch():
+    m = DiffAudioRep(enc_ratios=(8, 4), run_vae=True, **SMALL)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 320, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(1), x)
+    losses, aux = m.apply(v, x, key=jax.random.PRNGKey(2))
+    assert list(losses.keys()) == ["total_loss", "prior_loss", "neg_sdr"]
+    assert float(losses["total_loss"]) == pytest.approx(
+        0.1 * float(losses["prior_loss"]) + float(losses["neg_sdr"]), rel=1e-5
+    )
+
+
+def test_diff_audio_time():
+    """Waveform-domain diffusion (reference model.py:241-295)."""
+    from ladiffcodec_tpu.models.diff_rep import DiffAudioTime
+
+    m = DiffAudioTime(diff_dims=16, model_type="unet", upsampling_ratios=None)
+    x = jax.random.normal(jax.random.PRNGKey(0), (1, 128, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(1), x)
+    losses, aux = m.apply(v, x, key=jax.random.PRNGKey(2))
+    assert list(losses.keys()) == ["diff_loss", "neg_loss"]
+    assert aux["predicted_x_start"].shape == x.shape
+    # pred_x_start is detached for the SDR readout (reference model.py:293)
+    g = jax.grad(lambda xx: float0_sum(m, v, xx))(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def float0_sum(m, v, xx):
+    losses, _ = m.apply(v, xx, key=jax.random.PRNGKey(2))
+    return losses["diff_loss"]
