@@ -1,6 +1,7 @@
 from .pad import (
     pad1d,
     unpad1d,
+    pad_for_conv1d,
     get_extra_padding_for_conv1d,
     sconv1d_paddings,
     sconvtr1d_unpaddings,

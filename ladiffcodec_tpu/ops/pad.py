@@ -120,3 +120,14 @@ def unpad1d(x: jnp.ndarray, paddings: tuple[int, int], axis: int = -2) -> jnp.nd
     sl = [slice(None)] * x.ndim
     sl[axis] = slice(left, x.shape[axis] - right)
     return x[tuple(sl)]
+
+
+def pad_for_conv1d(
+    x: jnp.ndarray, kernel_size: int, stride: int, padding_total: int = 0, axis: int = -2
+) -> jnp.ndarray:
+    """Right-pad so the last conv window is full (reference
+    srcs/modules/conv.py:66-78)."""
+    extra = get_extra_padding_for_conv1d(
+        x.shape[axis % x.ndim], kernel_size, stride, padding_total
+    )
+    return pad1d(x, (0, extra), mode="zero", axis=axis)

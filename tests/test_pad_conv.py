@@ -117,3 +117,13 @@ def test_weight_norm_unit_scale_at_init():
     g = params["params"]["conv"]["kernel_g"]
     norm = jnp.sqrt(jnp.sum(v ** 2, axis=(0, 1), keepdims=True))
     np.testing.assert_allclose(np.asarray(g), np.asarray(norm), rtol=1e-6)
+
+
+def test_pad_for_conv1d():
+    from ladiffcodec_tpu.ops.pad import pad_for_conv1d
+
+    x = jnp.ones((1, 10, 1))
+    y = pad_for_conv1d(x, kernel_size=4, stride=3)  # (10-4)/3+1 = 3 frames exact? 10->ideal 2*3+4=10
+    assert y.shape[1] == 10
+    y = pad_for_conv1d(x, kernel_size=4, stride=4)  # ceil((10-4)/4+1)=3 -> ideal 2*4+4=12
+    assert y.shape[1] == 12
