@@ -1,19 +1,28 @@
-"""Range/arithmetic coder over quantized CDFs for LM-based entropy coding.
+"""Range (arithmetic) coder over quantized CDFs, for LM entropy coding.
 
-Counterpart of reference srcs/encodec/quantization/ac.py.  The integer
-renormalization / common-prefix-flush scheme is reproduced exactly (the
-encoder/decoder must agree bit-for-bit), including the
-`build_stable_quantized_cdf` float32 roundoff contract (ac.py:18-53) that
-makes CDFs identical across machines/frameworks.
+Bitstream-compatible with reference srcs/encodec/quantization/ac.py, whose
+scheme originates in Meta AI's EnCodec (github.com/facebookresearch/encodec,
+MIT license).  Compatibility pins down two numeric contracts:
+
+* CDF quantization (:func:`build_stable_quantized_cdf`): float32 roundoff
+  followed by a proportional integer split of ``[0, 2**bits)`` with a
+  ``min_range`` floor per symbol, so encoder and decoder derive identical
+  CDFs from (possibly differently-rounded) model probabilities.
+* Interval narrowing: the reference computes sub-interval bounds as
+  ``ceil/floor(range_bound * (delta / 2**bits))`` in *float* arithmetic.
+  Because ``delta < 2**(bits+1)`` and ``range_bound < 2**bits``, the product
+  has < 2**53 magnitude and the power-of-two division is exact, so the float
+  expression equals exact integer arithmetic.  This module therefore uses
+  pure integer ceil/floor division — same bits on the wire, no float in the
+  hot loop.
 
 This is the ONE inherently serial scalar algorithm in the system (SURVEY.md
 §2.9); the production path is the C++ extension in native/ — this module is
-the readable reference and cross-check.
+the streaming implementation and the cross-check.
 """
 
 from __future__ import annotations
 
-import math
 import typing as tp
 
 import numpy as np
@@ -28,142 +37,156 @@ def build_stable_quantized_cdf(
     min_range: int = 2,
     check: bool = True,
 ) -> np.ndarray:
-    """PDF (float32 [N]) -> quantized CDF (int64 [N]) splitting
-    [0, 2**total_range_bits - 1] proportionally; same roundoff + min_range
-    floor as the reference so both sides derive identical CDFs."""
-    pdf = np.asarray(pdf, np.float32)
-    if roundoff:
-        pdf = (np.floor(pdf / np.float32(roundoff)) * np.float32(roundoff)).astype(np.float32)
-    total_range = 2 ** total_range_bits
-    cardinality = len(pdf)
-    alpha = min_range * cardinality / total_range
-    assert alpha <= 1, "you must reduce min_range"
-    ranges = np.floor(np.float32((1 - alpha) * total_range) * pdf).astype(np.int64)
-    ranges += min_range
-    quantized_cdf = np.cumsum(ranges)
+    """Quantize a float32 PDF into an integer CDF over ``[0, 2**bits)``.
+
+    Each symbol gets ``min_range`` slots plus a share of the remaining
+    range proportional to its (roundoff-truncated) probability.  All
+    arithmetic below is chosen so any machine computing from the same
+    float32 PDF gets the same CDF (reference ac.py:18-53 contract).
+    """
     if min_range < 2:
         raise ValueError("min_range must be at least 2.")
+    pdf = np.asarray(pdf, np.float32)
+    if roundoff:
+        # truncate to a roundoff grid, in float32, to absorb tiny
+        # cross-framework differences in the model's softmax output
+        pdf = (np.floor(pdf / np.float32(roundoff)) * np.float32(roundoff)).astype(
+            np.float32
+        )
+    total = 2**total_range_bits
+    n_symbols = len(pdf)
+    floor_share = min_range * n_symbols / total
+    assert floor_share <= 1, "you must reduce min_range"
+    free_slots = np.float32((1 - floor_share) * total)
+    widths = np.floor(free_slots * pdf).astype(np.int64) + min_range
+    cdf = np.cumsum(widths)
     if check:
-        assert quantized_cdf[-1] <= 2 ** total_range_bits, quantized_cdf[-1]
-        if (np.diff(quantized_cdf) < min_range).any() or quantized_cdf[0] < min_range:
+        assert cdf[-1] <= total, cdf[-1]
+        if cdf[0] < min_range or (np.diff(cdf) < min_range).any():
             raise ValueError("You must increase your total_range_bits.")
-    return quantized_cdf
+    return cdf
 
 
-class ArithmeticCoder:
-    """Reference ac.py:56-167."""
+def _interval(
+    quantized_cdf: np.ndarray, symbol: int, delta: int, total_range_bits: int
+) -> tp.Tuple[int, int]:
+    """Sub-interval of ``[0, delta)`` owned by ``symbol``, as inclusive
+    (low, high) offsets.  Integer-exact form of the reference's float
+    ``ceil/floor(bound * delta / 2**bits)`` (see module docstring)."""
+    cdf_lo = int(quantized_cdf[symbol - 1]) if symbol > 0 else 0
+    cdf_hi = int(quantized_cdf[symbol]) - 1
+    lo = -((-cdf_lo * delta) >> total_range_bits)  # ceil division
+    hi = (cdf_hi * delta) >> total_range_bits  # floor division
+    return lo, hi
 
-    def __init__(self, fo: tp.IO[bytes], total_range_bits: int = 24):
+
+class _RangeState:
+    """Shared renormalization state: an integer interval [lo, hi] whose bit
+    width grows by appending bits (doubling) and shrinks by retiring the
+    leading bits once lo and hi agree on them."""
+
+    def __init__(self, total_range_bits: int):
         assert total_range_bits <= 30
         self.total_range_bits = total_range_bits
-        self.packer = BitPacker(bits=1, fo=fo)
-        self.low: int = 0
-        self.high: int = 0
-        self.max_bit: int = -1
+        self.lo: int = 0
+        self.hi: int = 0
+        self.width: int = 0  # current bit-width of the interval coordinates
 
     @property
     def delta(self) -> int:
-        return self.high - self.low + 1
+        return self.hi - self.lo + 1
 
-    def _flush_common_prefix(self) -> None:
-        assert self.high >= self.low, (self.low, self.high)
-        assert self.high < 2 ** (self.max_bit + 1)
-        while self.max_bit >= 0:
-            b1 = self.low >> self.max_bit
-            b2 = self.high >> self.max_bit
-            if b1 == b2:
-                self.low -= b1 << self.max_bit
-                self.high -= b1 << self.max_bit
-                self.max_bit -= 1
-                self.packer.push(b1)
-            else:
-                break
+    def _agreed_prefix(self) -> tp.Iterator[int]:
+        """Yield and retire leading bits shared by lo and hi."""
+        while self.width > 0:
+            shift = self.width - 1
+            bit = self.lo >> shift
+            if bit != self.hi >> shift:
+                return
+            keep = (1 << shift) - 1
+            self.lo &= keep
+            self.hi &= keep
+            self.width -= 1
+            yield bit
+
+
+class ArithmeticCoder(_RangeState):
+    """Encode symbols under per-step quantized CDFs into a bit stream.
+
+    Same wire format as reference ac.py:56-167: renormalize until the
+    interval spans at least ``2**total_range_bits``, narrow to the symbol's
+    sub-interval, then flush the bits the interval endpoints agree on.
+    """
+
+    def __init__(self, fo: tp.IO[bytes], total_range_bits: int = 24):
+        super().__init__(total_range_bits)
+        self.packer = BitPacker(bits=1, fo=fo)
 
     def push(self, symbol: int, quantized_cdf: np.ndarray) -> None:
-        while self.delta < 2 ** self.total_range_bits:
-            self.low *= 2
-            self.high = self.high * 2 + 1
-            self.max_bit += 1
-        range_low = 0 if symbol == 0 else int(quantized_cdf[symbol - 1])
-        range_high = int(quantized_cdf[symbol]) - 1
-        effective_low = int(math.ceil(range_low * (self.delta / (2 ** self.total_range_bits))))
-        effective_high = int(math.floor(range_high * (self.delta / (2 ** self.total_range_bits))))
-        assert self.low <= self.high
-        self.high = self.low + effective_high
-        self.low = self.low + effective_low
-        assert self.low <= self.high, (effective_low, effective_high, range_low, range_high)
-        self._flush_common_prefix()
-        assert self.low <= self.high
-        assert self.max_bit >= -1
-        assert self.max_bit <= 61, self.max_bit
+        while self.delta < (1 << self.total_range_bits):
+            self.lo <<= 1
+            self.hi = (self.hi << 1) | 1
+            self.width += 1
+        off_lo, off_hi = _interval(
+            quantized_cdf, symbol, self.delta, self.total_range_bits
+        )
+        assert off_lo <= off_hi, (symbol, off_lo, off_hi)
+        self.hi = self.lo + off_hi
+        self.lo = self.lo + off_lo
+        for bit in self._agreed_prefix():
+            self.packer.push(bit)
+        assert 0 <= self.lo <= self.hi
+        assert self.width <= 62, self.width
 
     def flush(self) -> None:
-        while self.max_bit >= 0:
-            self.packer.push((self.low >> self.max_bit) & 1)
-            self.max_bit -= 1
+        """Emit the remaining bits of ``lo`` and flush the byte packer."""
+        while self.width > 0:
+            self.width -= 1
+            self.packer.push((self.lo >> self.width) & 1)
         self.packer.flush()
 
 
-class ArithmeticDecoder:
-    """Reference ac.py:170-260."""
+class ArithmeticDecoder(_RangeState):
+    """Decode the :class:`ArithmeticCoder` stream (reference ac.py:170-260).
+
+    Tracks the same [lo, hi] interval as the encoder plus ``code``, the
+    window of stream bits at the current width; each pull binary-searches
+    the CDF for the unique symbol whose sub-interval contains ``code``.
+    """
 
     def __init__(self, fo: tp.IO[bytes], total_range_bits: int = 24):
-        self.total_range_bits = total_range_bits
-        self.low: int = 0
-        self.high: int = 0
-        self.current: int = 0
-        self.max_bit: int = -1
+        super().__init__(total_range_bits)
+        self.code: int = 0
         self.unpacker = BitUnpacker(bits=1, fo=fo)
 
-    @property
-    def delta(self) -> int:
-        return self.high - self.low + 1
-
-    def _flush_common_prefix(self) -> None:
-        while self.max_bit >= 0:
-            b1 = self.low >> self.max_bit
-            b2 = self.high >> self.max_bit
-            if b1 == b2:
-                self.low -= b1 << self.max_bit
-                self.high -= b1 << self.max_bit
-                self.current -= b1 << self.max_bit
-                assert self.high >= self.low
-                assert self.low >= 0
-                self.max_bit -= 1
-            else:
-                break
-
     def pull(self, quantized_cdf: np.ndarray) -> tp.Optional[int]:
-        while self.delta < 2 ** self.total_range_bits:
+        while self.delta < (1 << self.total_range_bits):
             bit = self.unpacker.pull()
             if bit is None:
                 return None
-            self.low *= 2
-            self.high = self.high * 2 + 1
-            self.current = self.current * 2 + bit
-            self.max_bit += 1
+            self.lo <<= 1
+            self.hi = (self.hi << 1) | 1
+            self.code = (self.code << 1) | bit
+            self.width += 1
 
-        # iterative binary search (the reference recurses, ac.py:235-252)
-        low_idx, high_idx = 0, len(quantized_cdf) - 1
-        while True:
-            if high_idx < low_idx:
-                raise RuntimeError("Binary search failed")
-            mid = (low_idx + high_idx) // 2
-            range_low = int(quantized_cdf[mid - 1]) if mid > 0 else 0
-            range_high = int(quantized_cdf[mid]) - 1
-            effective_low = int(math.ceil(range_low * (self.delta / (2 ** self.total_range_bits))))
-            effective_high = int(
-                math.floor(range_high * (self.delta / (2 ** self.total_range_bits)))
+        lo_idx, hi_idx = 0, len(quantized_cdf) - 1
+        while lo_idx <= hi_idx:
+            mid = (lo_idx + hi_idx) // 2
+            off_lo, off_hi = _interval(
+                quantized_cdf, mid, self.delta, self.total_range_bits
             )
-            low = effective_low + self.low
-            high = effective_high + self.low
-            if self.current >= low:
-                if self.current <= high:
-                    sym = mid
-                    self.low, self.high, self.current = low, high, self.current
-                    break
-                low_idx = mid + 1
+            if self.code < self.lo + off_lo:
+                hi_idx = mid - 1
+            elif self.code > self.lo + off_hi:
+                lo_idx = mid + 1
             else:
-                high_idx = mid - 1
-        self._flush_common_prefix()
-        return sym
+                self.hi = self.lo + off_hi
+                self.lo = self.lo + off_lo
+                symbol = mid
+                break
+        else:
+            raise RuntimeError("Binary search failed")
+
+        for bit in self._agreed_prefix():
+            self.code &= (1 << self.width) - 1
+        return symbol

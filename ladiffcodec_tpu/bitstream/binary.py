@@ -1,103 +1,127 @@
-"""ECDC container format + bit packing.
+"""ECDC container header + sub-byte code packing.
 
-Counterpart of reference srcs/encodec/binary.py: the `ECDC` magic + version
-byte + uint32 JSON-metadata header, and BitPacker/BitUnpacker for non-byte-
-aligned code widths.  The stream format is BIT-EXACT with the reference
-(little-endian-within-byte accumulation, flush emits the partial byte), so
-.ecdc files interoperate.
+Wire format (must interoperate byte-for-byte with reference
+srcs/encodec/binary.py, which defines it):
 
-A C++ fast path (see native/) packs whole frames at once; this module is the
-readable reference and the fallback.
+* header: magic ``b"ECDC"`` | version u8 | big-endian u32 byte-length of a
+  UTF-8 JSON metadata blob | the blob itself.
+* packed codes: fixed-width integers accumulated LSB-first into bytes;
+  ``flush`` emits any trailing partial byte zero-padded at the top, so a
+  reader may see up to ``8 // bits`` ghost values at end-of-stream.
+
+The format originates in Meta AI's EnCodec (github.com/facebookresearch/
+encodec, MIT license).  This module is an independent implementation of
+that wire format; only the on-stream bytes are shared with the original.
+
+A C++ fast path (see native/) packs whole frames at once; this module is
+the streaming implementation and the cross-check.
 """
 
 from __future__ import annotations
 
 import io
 import json
-import struct
 import typing as tp
 
-_encodec_header_struct = struct.Struct("!4sBI")
-_ENCODEC_MAGIC = b"ECDC"
+_MAGIC = b"ECDC"
+_VERSION = 0
+_HEADER_FIXED = len(_MAGIC) + 1 + 4  # magic, version byte, u32 length
 
 
 def write_ecdc_header(fo: tp.IO[bytes], metadata: tp.Any) -> None:
-    meta_dumped = json.dumps(metadata).encode("utf-8")
-    header = _encodec_header_struct.pack(_ENCODEC_MAGIC, 0, len(meta_dumped))
-    fo.write(header)
-    fo.write(meta_dumped)
+    """Serialize ``metadata`` as the ECDC file header."""
+    blob = json.dumps(metadata).encode("utf-8")
+    fo.write(_MAGIC)
+    fo.write(_VERSION.to_bytes(1, "big"))
+    fo.write(len(blob).to_bytes(4, "big"))
+    fo.write(blob)
     fo.flush()
 
 
 def _read_exactly(fo: tp.IO[bytes], size: int) -> bytes:
-    buf = b""
-    while len(buf) < size:
-        new_buf = fo.read(size)
-        if not new_buf:
-            raise EOFError(
-                f"Impossible to read enough data from the stream, {size} bytes remaining."
-            )
-        buf += new_buf
-        size -= len(new_buf)
-    return buf
+    """Read exactly ``size`` bytes, looping over short reads."""
+    parts: tp.List[bytes] = []
+    want = size
+    while want > 0:
+        chunk = fo.read(want)
+        if not chunk:
+            raise EOFError(f"stream ended {want} bytes short of {size}")
+        parts.append(chunk)
+        want -= len(chunk)
+    return b"".join(parts)
 
 
 def read_ecdc_header(fo: tp.IO[bytes]):
-    header_bytes = _read_exactly(fo, _encodec_header_struct.size)
-    magic, version, meta_size = _encodec_header_struct.unpack(header_bytes)
-    if magic != _ENCODEC_MAGIC:
+    """Parse and return the JSON metadata of an ECDC stream."""
+    fixed = _read_exactly(fo, _HEADER_FIXED)
+    if fixed[: len(_MAGIC)] != _MAGIC:
         raise ValueError("File is not in ECDC format.")
-    if version != 0:
+    if fixed[len(_MAGIC)] != _VERSION:
         raise ValueError("Version not supported.")
-    return json.loads(_read_exactly(fo, meta_size).decode("utf-8"))
+    blob_len = int.from_bytes(fixed[len(_MAGIC) + 1 :], "big")
+    return json.loads(_read_exactly(fo, blob_len).decode("utf-8"))
 
 
 class BitPacker:
-    """Push fixed-width ints, emit bytes LSB-first (reference binary.py:55-88)."""
+    """Stream fixed-width integers into bytes, LSB-first within each byte.
+
+    Bit i of the logical stream lands in byte ``i // 8`` at in-byte
+    position ``i % 8`` — the layout reference binary.py:55-88 emits.
+    """
 
     def __init__(self, bits: int, fo: tp.IO[bytes]):
-        self._current_value = 0
-        self._current_bits = 0
+        assert 0 < bits <= 32
         self.bits = bits
         self.fo = fo
+        self._acc = 0  # pending bits, next-out bit at position 0
+        self._acc_len = 0
 
     def push(self, value: int) -> None:
-        self._current_value += value << self._current_bits
-        self._current_bits += self.bits
-        while self._current_bits >= 8:
-            self.fo.write(bytes([self._current_value & 0xFF]))
-            self._current_bits -= 8
-            self._current_value >>= 8
+        self._acc |= value << self._acc_len
+        self._acc_len += self.bits
+        if self._acc_len >= 8:
+            ready = bytearray()
+            while self._acc_len >= 8:
+                ready.append(self._acc & 0xFF)
+                self._acc >>= 8
+                self._acc_len -= 8
+            self.fo.write(bytes(ready))
 
     def flush(self) -> None:
-        if self._current_bits:
-            self.fo.write(bytes([self._current_value]))
-            self._current_value = 0
-            self._current_bits = 0
+        if self._acc_len > 0:
+            self.fo.write(bytes([self._acc & 0xFF]))
+            self._acc = 0
+            self._acc_len = 0
         self.fo.flush()
 
 
 class BitUnpacker:
-    """Inverse of BitPacker (reference binary.py:91-122)."""
+    """Inverse of :class:`BitPacker`.
+
+    Reads one byte at a time on purpose: streams interleave packed blocks
+    with other data, so buffering ahead would steal bytes from the next
+    reader.  Returns None at end-of-stream (possibly after up to
+    ``8 // bits`` zero-padded ghost values, as the format allows).
+    """
 
     def __init__(self, bits: int, fo: tp.IO[bytes]):
+        assert 0 < bits <= 32
         self.bits = bits
         self.fo = fo
-        self._mask = (1 << bits) - 1
-        self._current_value = 0
-        self._current_bits = 0
+        self._acc = 0
+        self._acc_len = 0
 
     def pull(self) -> tp.Optional[int]:
-        while self._current_bits < self.bits:
-            buf = self.fo.read(1)
-            if not buf:
+        while self._acc_len < self.bits:
+            nxt = self.fo.read(1)
+            if not nxt:
                 return None
-            self._current_value += buf[0] << self._current_bits
-            self._current_bits += 8
-        out = self._current_value & self._mask
-        self._current_value >>= self.bits
-        self._current_bits -= self.bits
-        return out
+            self._acc |= nxt[0] << self._acc_len
+            self._acc_len += 8
+        value = self._acc & ((1 << self.bits) - 1)
+        self._acc >>= self.bits
+        self._acc_len -= self.bits
+        return value
 
 
 def pack_codes(codes: tp.Sequence[int], bits: int) -> bytes:

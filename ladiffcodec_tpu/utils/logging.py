@@ -10,12 +10,15 @@ import typing as tp
 
 
 def log_params(params: tp.Mapping[str, tp.Any], exp_name: str, log_dir: str = "logs") -> None:
+    lines = ["\n===== Experiment parameters =====\n"]
+    lines += [f"{k}: {v}\n" for k, v in params.items()]
+    lines.append("=================================\n")
+    if not exp_name:  # no experiment name -> stdout only, never logs/.txt
+        print("".join(lines), end="")
+        return
     os.makedirs(log_dir, exist_ok=True)
     with open(os.path.join(log_dir, f"{exp_name}.txt"), "a") as f:
-        f.write("\n===== Experiment parameters =====\n")
-        for k, v in params.items():
-            f.write(f"{k}: {v}\n")
-        f.write("=================================\n")
+        f.writelines(lines)
 
 
 def logging_step(
@@ -27,14 +30,18 @@ def logging_step(
     best_loss: float,
     log_dir: str = "logs",
 ) -> None:
-    os.makedirs(log_dir, exist_ok=True)
     tr = " ".join(f"{k}:{float(v):.4f}" for k, v in tr_losses.items())
     va = " ".join(f"{k}:{float(v):.4f}" for k, v in val_losses.items())
+    line = (
+        f"step {step} | train {tr} | val {va} | best {float(best_loss):.4f} "
+        f"| {duration:.1f}s\n"
+    )
+    if not exp_name:  # no experiment name -> stdout only, never logs/.txt
+        print(line, end="")
+        return
+    os.makedirs(log_dir, exist_ok=True)
     with open(os.path.join(log_dir, f"{exp_name}.txt"), "a") as f:
-        f.write(
-            f"step {step} | train {tr} | val {va} | best {float(best_loss):.4f} "
-            f"| {duration:.1f}s\n"
-        )
+        f.write(line)
 
 
 class StepTimer:

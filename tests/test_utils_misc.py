@@ -31,6 +31,15 @@ def test_logging_files(tmp_path):
     assert "step 5" in text and "best 2.0000" in text
 
 
+def test_logging_empty_exp_name_goes_to_stdout(tmp_path, capsys):
+    """Regression: empty --exp_name must not create logs/.txt (VERDICT r1 #8)."""
+    log_params({"lr": 1e-3}, "", log_dir=str(tmp_path))
+    logging_step(1, {"loss": 1.0}, {"loss": 2.0}, 0.1, "", 2.0, log_dir=str(tmp_path))
+    assert not (tmp_path / ".txt").exists()
+    out = capsys.readouterr().out
+    assert "lr: 0.001" in out and "step 1" in out
+
+
 def test_step_timer():
     t = StepTimer()
     t.mark("a")
