@@ -82,6 +82,9 @@ class DiffAudioRep(nn.Module):
     upsampling_ratios: tp.Optional[tp.Sequence[int]] = (5, 4, 2)
     unet_scale_x: bool = False
     unet_scale_cond: bool = True
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
     # RVQ hyperparameters (reference vq.py defaults)
     bins: int = 1024
     rvq_decay: float = 0.99
@@ -178,6 +181,9 @@ class DiffAudioRep(nn.Module):
                     else None,
                     unet_scale_x=self.unet_scale_x,
                     unet_scale_cond=self.unet_scale_cond,
+                    learned_sinusoidal_cond=self.learned_sinusoidal_cond,
+                    random_fourier_features=self.random_fourier_features,
+                    learned_sinusoidal_dim=self.learned_sinusoidal_dim,
                     fused_norm=self.fused_norm,
                 )
             elif self.model_type == "transformer":
@@ -417,6 +423,9 @@ class DiffAudioTime(nn.Module):
     upsampling_ratios: tp.Optional[tp.Sequence[int]] = (5, 4, 2)
     unet_scale_x: bool = False
     unet_scale_cond: bool = True
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
     scaling_frame: bool = False
     scaling_feature: bool = False
     scaling_global: bool = False
@@ -441,6 +450,9 @@ class DiffAudioTime(nn.Module):
                 else None,
                 unet_scale_x=self.unet_scale_x,
                 unet_scale_cond=self.unet_scale_cond,
+                learned_sinusoidal_cond=self.learned_sinusoidal_cond,
+                random_fourier_features=self.random_fourier_features,
+                learned_sinusoidal_dim=self.learned_sinusoidal_dim,
             )
         elif self.model_type == "transformer":
             from .transformer import TransformerDDPM

@@ -118,6 +118,28 @@ def sinusoidal_pos_emb(t: jnp.ndarray, dim: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.sin(args), jnp.cos(args)], axis=-1)
 
 
+class RandomOrLearnedSinusoidalPosEmb(nn.Module):
+    """Fourier time features with random or learned frequencies
+    (reference unet.py:118-135): (B,) -> (B, dim + 1) as [t, sin, cos].
+
+    `is_random=True` keeps the frequencies fixed at their random init
+    (torch marks the parameter requires_grad=False; here the gradient is
+    stopped, which the optimizer sees as zero update)."""
+
+    dim: int
+    is_random: bool = False
+
+    @nn.compact
+    def __call__(self, t: jnp.ndarray) -> jnp.ndarray:
+        assert self.dim % 2 == 0
+        w = self.param("weights", nn.initializers.normal(1.0), (self.dim // 2,))
+        if self.is_random:
+            w = jax.lax.stop_gradient(w)
+        t = t.astype(jnp.float32)[:, None]
+        freqs = t * w[None, :] * (2.0 * math.pi)
+        return jnp.concatenate([t, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
+
+
 class _GNParams(nn.Module):
     """GroupNorm-compatible parameter holder (same names/shapes as
     nn.GroupNorm) for the fused Pallas path."""
@@ -333,6 +355,9 @@ class Unet1D(nn.Module):
     unet_scale_x: bool = False
     unet_scale_cond: bool = True
     upsampling_ratios: tp.Optional[tp.Sequence[int]] = (5, 4, 2)
+    learned_sinusoidal_cond: bool = False
+    random_fourier_features: bool = False
+    learned_sinusoidal_dim: int = 16
     fused_norm: tp.Any = False  # inference-only Pallas norm fusion
 
     @property
@@ -381,7 +406,14 @@ class Unet1D(nn.Module):
         x = PlainConv1d(init_dim, 7, padding=3, name="init_conv")(x)
         r = x
 
-        t = sinusoidal_pos_emb(time, dim)
+        if self.learned_sinusoidal_cond or self.random_fourier_features:
+            t = RandomOrLearnedSinusoidalPosEmb(
+                self.learned_sinusoidal_dim,
+                is_random=self.random_fourier_features,
+                name="sinu_pos_emb",
+            )(time)
+        else:
+            t = sinusoidal_pos_emb(time, dim)
         t = nn.Dense(dim * 4, name="time_mlp_1")(t)
         t = nn.Dense(dim * 4, name="time_mlp_2")(nn.gelu(t))
 

@@ -6,5 +6,12 @@ from .pad import (
     sconv1d_paddings,
     sconvtr1d_unpaddings,
 )
-from .conv import SConv1d, SConvTranspose1d, NormConv1d, NormConvTranspose1d, NormConv2d
+from .conv import (
+    SConv1d,
+    SConvTranspose1d,
+    NormConv1d,
+    NormConvTranspose1d,
+    NormConv2d,
+    NormConvTranspose2d,
+)
 from .lstm import SLSTM, LSTMLayer

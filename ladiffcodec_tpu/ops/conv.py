@@ -50,6 +50,46 @@ def weight_normed(v: jnp.ndarray, g: jnp.ndarray, norm_axes: tuple[int, ...]) ->
     return v * (g / jnp.maximum(norm, 1e-12))
 
 
+def _l2_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x), eps)
+
+
+def spectral_normed(mod: nn.Module, kernel: jnp.ndarray, perm: tuple[int, ...]) -> jnp.ndarray:
+    """kernel / sigma_max with torch ``nn.utils.spectral_norm`` semantics
+    (reference conv.py:27-37 selects it for ``norm='spectral_norm'``).
+
+    ``perm`` reorders our kernel layout into the torch weight layout whose
+    leading axis is torch's ``dim=0``; the matrix view flattens the rest in
+    that order, so converted torch ``weight_orig``/``_u``/``_v`` buffers drop
+    in unchanged.  Persistent u/v live in the "spectral" collection.  One
+    power-iteration step runs per call *when that collection is mutable*
+    (training steps pass ``mutable=["spectral"]``), matching torch's
+    training-mode update; otherwise the stored vectors are used as-is.
+    """
+    w = jnp.transpose(kernel, perm).astype(jnp.float32)
+    rows = w.shape[0]
+    w2 = w.reshape(rows, -1)
+    cols = w2.shape[1]
+    u_var = mod.variable(
+        "spectral", "u",
+        lambda: _l2_normalize(jax.random.normal(mod.make_rng("params"), (rows,))),
+    )
+    v_var = mod.variable(
+        "spectral", "v",
+        lambda: _l2_normalize(jax.random.normal(mod.make_rng("params"), (cols,))),
+    )
+    u, v = u_var.value, v_var.value
+    if mod.is_mutable_collection("spectral") and not mod.is_initializing():
+        v = _l2_normalize(w2.T @ u)
+        u = _l2_normalize(w2 @ v)
+        u_var.value = jax.lax.stop_gradient(u)
+        v_var.value = jax.lax.stop_gradient(v)
+    u = jax.lax.stop_gradient(u)
+    v = jax.lax.stop_gradient(v)
+    sigma = u @ (w2 @ v)
+    return kernel / sigma.astype(kernel.dtype)
+
+
 class NormConv1d(nn.Module):
     """Conv1d (VALID padding — callers pad) + parametrization/module norm.
 
@@ -90,10 +130,11 @@ class NormConv1d(nn.Module):
                 self.param_dtype,
             )
             kernel = weight_normed(v, g, (0, 1))
+        elif self.norm == "spectral_norm":
+            w = self.param("kernel", init, kshape, self.param_dtype)
+            # torch Conv1d weight is (out, in, k), dim=0 keeps out channels
+            kernel = spectral_normed(self, w, (2, 1, 0))
         else:
-            # spectral_norm is only used by discriminators in the reference
-            # when norm='spectral_norm'; defaults never select it.  We train
-            # with weight_norm; plain kernel otherwise.
             kernel = self.param("kernel", init, kshape, self.param_dtype)
 
         dtype = self.dtype or x.dtype
@@ -160,6 +201,10 @@ class NormConvTranspose1d(nn.Module):
                 self.param_dtype,
             )
             kernel = weight_normed(v, g, (0, 2))
+        elif self.norm == "spectral_norm":
+            w = self.param("kernel", init, kshape, self.param_dtype)
+            # torch ConvTranspose1d weight is (in, out, k), dim=0 keeps in
+            kernel = spectral_normed(self, w, (1, 2, 0))
         else:
             kernel = self.param("kernel", init, kshape, self.param_dtype)
 
@@ -305,6 +350,10 @@ class NormConv2d(nn.Module):
                 self.param_dtype,
             )
             kernel = weight_normed(v, g, (0, 1, 2))
+        elif self.norm == "spectral_norm":
+            w = self.param("kernel", init, kshape, self.param_dtype)
+            # torch Conv2d weight is (out, in, kh, kw), dim=0 keeps out
+            kernel = spectral_normed(self, w, (3, 2, 0, 1))
         else:
             kernel = self.param("kernel", init, kshape, self.param_dtype)
 
@@ -316,6 +365,67 @@ class NormConv2d(nn.Module):
             window_strides=self.stride,
             padding=[(ph, ph), (pw, pw)],
             rhs_dilation=self.dilation,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            b = self.param("bias", _kaiming_uniform_conv(fan_in), (self.features,), self.param_dtype)
+            y = y + b.astype(dtype)
+        if self.norm == "time_group_norm":
+            y = nn.GroupNorm(num_groups=1, dtype=dtype)(y)
+        return y
+
+
+class NormConvTranspose2d(nn.Module):
+    """ConvTranspose2d + norm, NHWC layout (reference srcs/modules/conv.py:181-194).
+
+    Unused by every shipped reference config; present for API completeness.
+    torch ConvTranspose2d(padding=0): out = (in - 1) * stride + kernel.
+    Kernel stored (kh, kw, in, out); torch weight_norm dim=0 (= per input
+    channel) maps to norm axes (0, 1, 3).
+    """
+
+    features: int
+    kernel_size: tuple[int, int]
+    stride: tuple[int, int] = (1, 1)
+    use_bias: bool = True
+    norm: str = "none"
+    dtype: tp.Optional[Dtype] = None
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        assert self.norm in CONV_NORMALIZATIONS
+        in_ch = x.shape[-1]
+        kh, kw = self.kernel_size
+        kshape = (kh, kw, in_ch, self.features)
+        fan_in = self.features * kh * kw  # torch ConvTranspose fan-in
+        init = _kaiming_uniform_conv(fan_in)
+
+        if self.norm == "weight_norm":
+            v = self.param("kernel_v", init, kshape, self.param_dtype)
+            g = self.param(
+                "kernel_g",
+                lambda key, shape, dt: jnp.sqrt(
+                    jnp.sum(jnp.square(v), axis=(0, 1, 3), keepdims=True)
+                ).astype(dt),
+                (1, 1, in_ch, 1),
+                self.param_dtype,
+            )
+            kernel = weight_normed(v, g, (0, 1, 3))
+        elif self.norm == "spectral_norm":
+            w = self.param("kernel", init, kshape, self.param_dtype)
+            # torch ConvTranspose2d weight is (in, out, kh, kw), dim=0 keeps in
+            kernel = spectral_normed(self, w, (2, 3, 0, 1))
+        else:
+            kernel = self.param("kernel", init, kshape, self.param_dtype)
+
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            jnp.flip(kernel, axis=(0, 1)).astype(dtype),
+            window_strides=(1, 1),
+            padding=[(kh - 1, kh - 1), (kw - 1, kw - 1)],
+            lhs_dilation=self.stride,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
         if self.use_bias:

@@ -254,6 +254,9 @@ def unet1d(
         "final_res_block": _unet_resblock(sd, f"{d}final_res_block"),
         "final_conv": _plain_conv(sd, f"{d}final_conv"),
     }
+    if f"{d}time_mlp.0.weights" in sd:
+        # RandomOrLearnedSinusoidalPosEmb (reference unet.py:118-135)
+        out["sinu_pos_emb"] = {"weights": np.asarray(sd[f"{d}time_mlp.0.weights"])}
     for i in range(n_stages):
         out[f"down_{i}_block1"] = _unet_resblock(sd, f"{d}downs.{i}.0")
         out[f"down_{i}_block2"] = _unet_resblock(sd, f"{d}downs.{i}.1", has_film=use_film)

@@ -42,6 +42,7 @@ def reference_modules():
         "NormConv1d",
         "NormConv2d",
         "NormConvTranspose1d",
+        "NormConvTranspose2d",
         "ConvLinear",
         "pad1d",
         "unpad1d",
