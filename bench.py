@@ -1,13 +1,18 @@
-"""Benchmark: audio-seconds/second/chip (RTF) for encode + 50-step DDIM
-decode at 1.5 kbps — the BASELINE.json headline metric.
+"""Benchmark: audio-seconds/second/chip (RTF) for encode + diffusion decode
+at 1.5 kbps — the BASELINE.json headline metric.
 
 The measured pipeline is the full production decode path of
 `ladiffcodec_tpu.sample`: waveform -> hop-320 codec encoder -> RVQ @1.5 kbps
--> dequantize -> transposed-conv upsample to the hop-8 grid -> 50-step
-truncated DDIM from the upsampled condition -> hop-8 continuous decoder ->
+-> dequantize -> transposed-conv upsample to the hop-8 grid -> diffusion
+sampler from the upsampled condition -> hop-8 continuous decoder ->
 waveform.  Weights are randomly initialized (the reference repo publishes no
 benchmark numbers to compare quality against — BASELINE.md); throughput is
 architecture + compiler bound, not weight bound.
+
+Two modes (--mode):
+  ddim50      50-step truncated DDIM (headline; default)
+  halfway100  100 ancestral halfway steps — the reference's EXACT production
+              sampler (srcs/sample.py:130, ddpm_loss.py:370-385)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is RTF / 100 (the >=100x real-time north star from
@@ -16,6 +21,7 @@ BASELINE.json).
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -25,11 +31,16 @@ import jax.numpy as jnp
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=["ddim50", "halfway100"], default="ddim50")
+    ap.add_argument("--batch", type=int, default=16)
+    args = ap.parse_args()
+
     from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
 
     SR = 16000
     SECONDS = 2.4  # reference training clip length
-    BATCH = 16  # throughput sweet spot measured on v5e (85x @16 vs 39x @4)
+    BATCH = args.batch  # throughput sweet spot measured on v5e (85x @16 vs 39x @4)
     STEPS = 50  # "50-step DDIM decode"
     L = int(SECONDS * SR) // 640 * 640
 
@@ -83,7 +94,10 @@ def main() -> None:
             )
             return out.astype(jnp.float32)
 
-        sample = diffusion.ddim_from(model_fn, img, 100, STEPS, key, img)
+        if args.mode == "halfway100":
+            sample = diffusion.halfway_sampling(model_fn, img, 100, key, img)
+        else:
+            sample = diffusion.ddim_from(model_fn, img, 100, STEPS, key, img)
         return model.apply(variables, sample.astype(dtype), method="decode")
 
     key = jax.random.PRNGKey(0)
@@ -101,8 +115,13 @@ def main() -> None:
 
     audio_seconds = BATCH * SECONDS * iters
     rtf = audio_seconds / dt
+    desc = (
+        "100-step ancestral halfway decode (reference production sampler)"
+        if args.mode == "halfway100"
+        else "50-step DDIM decode"
+    )
     print(json.dumps({
-        "metric": "audio-sec/sec/chip (RTF), encode + 50-step DDIM decode @1.5kbps",
+        "metric": f"audio-sec/sec/chip (RTF), encode + {desc} @1.5kbps",
         "value": round(rtf, 2),
         "unit": "x realtime",
         "vs_baseline": round(rtf / 100.0, 3),

@@ -30,14 +30,15 @@ import numpy as np
 from .binary import BitPacker, BitUnpacker
 
 
-def build_stable_quantized_cdf(
-    pdf: np.ndarray,
+def build_stable_quantized_cdfs(
+    pdfs: np.ndarray,
     total_range_bits: int,
     roundoff: float = 1e-8,
     min_range: int = 2,
     check: bool = True,
 ) -> np.ndarray:
-    """Quantize a float32 PDF into an integer CDF over ``[0, 2**bits)``.
+    """Quantize float32 PDFs ``(..., card)`` into integer CDFs over
+    ``[0, 2**bits)``, vectorized over every leading axis.
 
     Each symbol gets ``min_range`` slots plus a share of the remaining
     range proportional to its (roundoff-truncated) probability.  All
@@ -46,25 +47,40 @@ def build_stable_quantized_cdf(
     """
     if min_range < 2:
         raise ValueError("min_range must be at least 2.")
-    pdf = np.asarray(pdf, np.float32)
+    pdfs = np.asarray(pdfs, np.float32)
     if roundoff:
         # truncate to a roundoff grid, in float32, to absorb tiny
         # cross-framework differences in the model's softmax output
-        pdf = (np.floor(pdf / np.float32(roundoff)) * np.float32(roundoff)).astype(
+        pdfs = (np.floor(pdfs / np.float32(roundoff)) * np.float32(roundoff)).astype(
             np.float32
         )
     total = 2**total_range_bits
-    n_symbols = len(pdf)
+    n_symbols = pdfs.shape[-1]
     floor_share = min_range * n_symbols / total
     assert floor_share <= 1, "you must reduce min_range"
     free_slots = np.float32((1 - floor_share) * total)
-    widths = np.floor(free_slots * pdf).astype(np.int64) + min_range
-    cdf = np.cumsum(widths)
+    widths = np.floor(free_slots * pdfs).astype(np.int64) + min_range
+    cdfs = np.cumsum(widths, axis=-1)
     if check:
-        assert cdf[-1] <= total, cdf[-1]
-        if cdf[0] < min_range or (np.diff(cdf) < min_range).any():
+        assert (cdfs[..., -1] <= total).all(), cdfs[..., -1].max()
+        if (cdfs[..., 0] < min_range).any() or (
+            np.diff(cdfs, axis=-1) < min_range
+        ).any():
             raise ValueError("You must increase your total_range_bits.")
-    return cdf
+    return cdfs
+
+
+def build_stable_quantized_cdf(
+    pdf: np.ndarray,
+    total_range_bits: int,
+    roundoff: float = 1e-8,
+    min_range: int = 2,
+    check: bool = True,
+) -> np.ndarray:
+    """Single-PDF view of :func:`build_stable_quantized_cdfs`."""
+    return build_stable_quantized_cdfs(
+        pdf, total_range_bits, roundoff=roundoff, min_range=min_range, check=check
+    )
 
 
 def _interval(

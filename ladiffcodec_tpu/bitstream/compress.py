@@ -4,8 +4,10 @@ Two entropy modes:
   * fixed-width bit packing (`use_lm=False`) — whole-stream C++ fast path
     when the native lib is available;
   * LM arithmetic coding (`use_lm=True`) — the streaming LM runs one jitted
-    step per frame on device while the range coder consumes/produces bits in
-    C++ (or pure Python as fallback).
+    step per frame (both ends MUST run the identical program so their CDFs
+    agree bit-for-bit; see note in `compress_to_file`); CDF quantization is
+    batched over codebooks in one numpy/native call, and the range coder
+    consumes/produces bits in C++ (Python fallback).
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from . import binary
-from .ac import ArithmeticCoder, ArithmeticDecoder, build_stable_quantized_cdf
+from .ac import ArithmeticCoder, ArithmeticDecoder, build_stable_quantized_cdfs
 from . import native
 from .encodec_model import EncodecModel, EncodedFrame
 
@@ -72,6 +74,11 @@ def compress_to_file(
             coder = (
                 native.NativeArithmeticCoder() if native.available() else ArithmeticCoder(fo)
             )
+            # NOTE the LM must run the SAME one-step streaming graph the
+            # decoder runs: a teacher-forced full-sequence forward would be
+            # ~T times fewer dispatches, but its XLA program is not
+            # bit-identical to the streaming one, and any probability drift
+            # past the 1e-8 roundoff grid desyncs the decoder's CDFs.
             states, offset = lm.init_state(1)
             input_ = jnp.zeros((1, K, 1), jnp.int32)
             for t in range(T):
@@ -79,13 +86,14 @@ def compress_to_file(
                 input_ = 1 + jnp.asarray(frame[:, :, t : t + 1], jnp.int32)
                 p = np.asarray(probas[0, :, :, 0]).T  # (K, card)
                 if native.available():
-                    cdfs = np.stack([native.build_cdf(p[k], 24) for k in range(K)])
+                    cdfs = native.build_cdfs(p, coder.total_range_bits)
                     coder.push_frame(frame[0, :, t].astype(np.int32), cdfs)
                 else:
+                    cdfs = build_stable_quantized_cdfs(
+                        p, coder.total_range_bits, check=False
+                    )
                     for k in range(K):
-                        q_cdf = build_stable_quantized_cdf(p[k], coder.total_range_bits,
-                                                           check=False)
-                        coder.push(int(frame[0, k, t]), q_cdf)
+                        coder.push(int(frame[0, k, t]), cdfs[k])
             if native.available():
                 fo.write(coder.finish())
             else:
@@ -149,16 +157,15 @@ def decompress_from_file(
                 probas, states, offset = lm_step(input_, states, offset)
                 p = np.asarray(probas[0, :, :, 0]).T
                 if native.available():
-                    cdfs = np.stack(
-                        [native.build_cdf(p[k], 24) for k in range(num_codebooks)]
-                    )
+                    cdfs = native.build_cdfs(p, decoder.total_range_bits)
                     codes = decoder.pull_frame(cdfs)
                 else:
+                    cdfs = build_stable_quantized_cdfs(
+                        p, decoder.total_range_bits, check=False
+                    )
                     codes = []
                     for k in range(num_codebooks):
-                        q_cdf = build_stable_quantized_cdf(p[k], decoder.total_range_bits,
-                                                           check=False)
-                        code = decoder.pull(q_cdf)
+                        code = decoder.pull(cdfs[k])
                         if code is None:
                             raise EOFError("The stream ended sooner than expected.")
                         codes.append(code)

@@ -56,6 +56,8 @@ def get_lib() -> tp.Optional[ctypes.CDLL]:
         lib.ldc_unpack_codes.argtypes = [u8p, i64, ctypes.c_int, i64, i32p]
         lib.ldc_build_cdf.restype = None
         lib.ldc_build_cdf.argtypes = [f32p, i64, ctypes.c_int, ctypes.c_float, i64, i64p]
+        lib.ldc_build_cdfs.restype = None
+        lib.ldc_build_cdfs.argtypes = [f32p, i64, i64, ctypes.c_int, ctypes.c_float, i64, i64p]
         lib.ldc_encoder_new.restype = vp
         lib.ldc_encoder_new.argtypes = [ctypes.c_int]
         lib.ldc_encoder_push.restype = None
@@ -110,6 +112,19 @@ def build_cdf(pdf: np.ndarray, total_range_bits: int = 24, roundoff: float = 1e-
     return out
 
 
+def build_cdfs(pdfs: np.ndarray, total_range_bits: int = 24, roundoff: float = 1e-8,
+               min_range: int = 2) -> np.ndarray:
+    """Batched CDF build: (..., card) float PDFs -> (..., card) int64 CDFs
+    in one library call."""
+    lib = get_lib()
+    pdfs = np.ascontiguousarray(pdfs, np.float32)
+    n = pdfs.shape[-1]
+    k = pdfs.size // n
+    out = np.empty(pdfs.size, np.int64)
+    lib.ldc_build_cdfs(pdfs.reshape(-1), k, n, total_range_bits, roundoff, min_range, out)
+    return out.reshape(pdfs.shape)
+
+
 class NativeArithmeticCoder:
     """Drop-in fast replacement for bitstream.ac.ArithmeticCoder over frames."""
 
@@ -139,6 +154,7 @@ class NativeArithmeticCoder:
 class NativeArithmeticDecoder:
     def __init__(self, data: bytes, total_range_bits: int = 24):
         self._lib = get_lib()
+        self.total_range_bits = total_range_bits
         buf = np.frombuffer(data, np.uint8)
         self._h = self._lib.ldc_decoder_new(np.ascontiguousarray(buf), len(buf),
                                             total_range_bits)

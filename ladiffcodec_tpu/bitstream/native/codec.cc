@@ -226,6 +226,15 @@ void ldc_build_cdf(const float* pdf, int64_t n, int total_range_bits, float roun
   }
 }
 
+// Batched variant: k stacked PDFs of length n -> k stacked CDFs.  One FFI
+// crossing per frame (or per whole sequence) instead of one per codebook.
+void ldc_build_cdfs(const float* pdfs, int64_t k, int64_t n, int total_range_bits,
+                    float roundoff, int64_t min_range, int64_t* out) {
+  for (int64_t j = 0; j < k; ++j) {
+    ldc_build_cdf(pdfs + j * n, n, total_range_bits, roundoff, min_range, out + j * n);
+  }
+}
+
 // ---- arithmetic coder handles ----
 
 void* ldc_encoder_new(int total_range_bits) { return new Encoder(total_range_bits); }

@@ -39,12 +39,21 @@ def make_mesh(
     return Mesh(np.array(devices), (DP_AXIS,))
 
 
+def dp_axis_names(mesh: Mesh) -> tp.Union[str, tp.Tuple[str, ...]]:
+    """The data-parallel axis name(s) of a mesh: 'dp' on a 1-D mesh,
+    ('dcn', 'dp') on a 2-level multi-slice mesh.  Pass the result as
+    `axis_name` to the step builders — jax collectives accept tuples and
+    reduce over the combined axes."""
+    names = tuple(n for n in (DCN_AXIS, DP_AXIS) if n in mesh.axis_names)
+    return names if len(names) > 1 else names[0]
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def batch_sharded(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P(DP_AXIS))
+    return NamedSharding(mesh, P(dp_axis_names(mesh)))
 
 
 def shard_batch(mesh: Mesh, batch):

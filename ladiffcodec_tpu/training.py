@@ -22,7 +22,7 @@ from .models.diff_rep import DiffAudioRep
 from .models.msstftd import MultiScaleSTFTDiscriminator
 from .losses.gan import gen_loss, disc_loss
 from .losses.losses_fn import melspec_loss_fn
-from .parallel.mesh import DP_AXIS
+from .parallel.mesh import DP_AXIS, dp_axis_names
 
 
 @struct.dataclass
@@ -179,10 +179,17 @@ def make_gan_train_step(
 
 def shard_map_step(step_fn, mesh: Mesh, has_aux_batch: bool = False):
     """Lift a per-shard step into a full-batch jitted step over the mesh:
-    state replicated, batch split on dp, outputs replicated (grads/losses are
-    pmean'ed inside step_fn via axis_name=DP_AXIS)."""
-    in_specs = (P(), P(DP_AXIS), P())
-    out_specs = (P(), P()) if not has_aux_batch else (P(), P(), P(DP_AXIS))
+    state replicated, batch split over every data axis, outputs replicated
+    (grads/losses are pmean'ed inside step_fn via its axis_name).
+
+    On a 1-D ('dp',) mesh the batch splits over dp; on a 2-level
+    ('dcn', 'dp') mesh (multi-slice scale-out) it splits over both, so
+    the step_fn must be built with axis_name=dp_axis_names(mesh) and its
+    collectives reduce hierarchically — XLA routes the inner axis over ICI
+    and the outer over DCN."""
+    batch_axes = dp_axis_names(mesh)
+    in_specs = (P(), P(batch_axes), P())
+    out_specs = (P(), P()) if not has_aux_batch else (P(), P(), P(batch_axes))
     wrapped = jax.shard_map(
         step_fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
     )

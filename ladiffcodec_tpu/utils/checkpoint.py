@@ -12,7 +12,8 @@ from __future__ import annotations
 import typing as tp
 from pathlib import Path
 
-
+import jax
+import numpy as np
 import orbax.checkpoint as ocp
 
 
@@ -36,8 +37,21 @@ def load_checkpoint(state_template, output_dir: str, exp_name: str, note: str = 
 
 
 def load_checkpoint_path(state_template, path: tp.Union[str, Path]):
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(Path(path).resolve(), state_template)
+    path = Path(path).resolve()
+    if state_template is not None:
+        ckptr = ocp.StandardCheckpointer()
+        return ckptr.restore(path, state_template)
+    # Template-free: restore every leaf as host numpy.  The default restore
+    # replays the saved shardings, so a checkpoint written on TPU would
+    # demand TPU devices when loaded under CPU (tests, converters, eval on
+    # another host).  numpy leaves are device-free and get placed on first
+    # use.
+    ckptr = ocp.PyTreeCheckpointer()
+    meta = ckptr.metadata(path).item_metadata
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
+    )
+    return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
 
 
 def load_model_variables(variables_template, path: tp.Union[str, Path]):

@@ -1,0 +1,182 @@
+"""Quality evidence (VERDICT r1 item 2): SI-SNR and mel distance of each
+trained stage on held-out dev-clean speech, including the full production
+decode (codec codes -> diffusion halfway sampler -> continuous decoder).
+
+Usage (TPU, after the stages have trained):
+  python scripts/eval_quality.py --codec saved_models/stage1_codec_nodisc/model_best \
+      --ae saved_models/stage2_ae/model_best --diff saved_models/stage3_diff/model_best
+
+Rows: codec @3.0, codec @1.5 (same params, first 3 of 6 RVQ books),
+continuous AE, diffusion de-quantized @1.5/@3.0, all vs the input.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
+from ladiffcodec_tpu.data.librispeech import DatasetLibri
+from ladiffcodec_tpu.utils.checkpoint import load_checkpoint_path
+from ladiffcodec_tpu.losses.losses_fn import melspec_loss_fn
+from ladiffcodec_tpu.quantization.core import RVQState
+
+
+def si_snr(ref: np.ndarray, est: np.ndarray, eps: float = 1e-8) -> float:
+    """Mean scale-invariant SNR (dB) over the batch; inputs (B, L)."""
+    ref = ref - ref.mean(axis=-1, keepdims=True)
+    est = est - est.mean(axis=-1, keepdims=True)
+    dot = np.sum(ref * est, axis=-1, keepdims=True)
+    s_target = dot * ref / (np.sum(ref**2, axis=-1, keepdims=True) + eps)
+    e = est - s_target
+    ratio = np.sum(s_target**2, axis=-1) / (np.sum(e**2, axis=-1) + eps)
+    return float(np.mean(10.0 * np.log10(ratio + eps)))
+
+
+def mel_l1(ref: jnp.ndarray, est: jnp.ndarray) -> float:
+    """Multi-scale log-mel L1+L2 distance (same loss the codec trains on)."""
+    return float(melspec_loss_fn(ref, est, range(5, 12)))
+
+
+def load_vars(path: str):
+    raw = load_checkpoint_path(None, path)
+    variables = {"params": raw["params"]}
+    q = raw.get("quantizer")
+    if q:
+        state = q.get("state", q)
+        if isinstance(state, dict):
+            state = RVQState(
+                embed=jnp.asarray(state["embed"]),
+                embed_avg=jnp.asarray(state["embed_avg"]),
+                cluster_size=jnp.asarray(state["cluster_size"]),
+                inited=jnp.asarray(state["inited"]),
+            )
+        variables["quantizer"] = {"state": state}
+    return variables
+
+
+def dev_batch(data, seconds, n, sample_rate=16000):
+    ds = DatasetLibri("eval", seconds, data, sample_rate)
+    xs = [ds[i] for i in range(min(n, len(ds)))]
+    return jnp.asarray(np.stack(xs)[..., None])  # (B, L, 1)
+
+
+def eval_codec(args, rows):
+    vars_codec = load_vars(args.codec)
+    for bw in (3.0, 1.5):
+        model = DiffAudioRep(
+            rep_dims=128, n_filters=32, lstm=2, enc_ratios=(8, 5, 4, 2),
+            quantization=True, bandwidth=bw,
+        )
+        x = dev_batch(args.data, args.seconds, args.n_files)
+        fwd = jax.jit(
+            lambda v, xx: model.apply(v, xx, training=False, mutable=["quantizer"])[0]
+        )
+        (losses, aux) = fwd(vars_codec, x)
+        x_hat = np.asarray(aux["x_hat"])
+        rows.append((
+            f"codec @{bw} kbps",
+            si_snr(np.asarray(x)[..., 0], x_hat[..., 0]),
+            mel_l1(x, aux["x_hat"]),
+        ))
+    return vars_codec
+
+
+def eval_ae(args, rows):
+    vars_ae = load_vars(args.ae)
+    model = DiffAudioRep(
+        rep_dims=128, n_filters=32, lstm=2, enc_ratios=tuple(args.ae_ratios),
+    )
+    x = dev_batch(args.data, args.seconds, args.n_files)
+    fwd = jax.jit(lambda v, xx: model.apply(v, xx, training=False, mutable=["quantizer"])[0])
+    (losses, aux) = fwd(vars_ae, x)
+    x_hat = np.asarray(aux["x_hat"])
+    rows.append((
+        "continuous AE",
+        si_snr(np.asarray(x)[..., 0], x_hat[..., 0]),
+        mel_l1(x, aux["x_hat"]),
+    ))
+    return vars_ae
+
+
+def eval_diffusion(args, rows, vars_codec):
+    vars_diff = load_vars(args.diff)
+    model = DiffAudioRep(
+        rep_dims=128, diff_dims=128, n_filters=32, lstm=2,
+        enc_ratios=tuple(args.ae_ratios), run_diff=True, model_type="unet",
+        scaling_global=True, other_cond=True, cond_channels=128,
+        upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True,
+    )
+    for bw in (args.cond_bandwidth,):
+        cond_model = DiffAudioRep(
+            rep_dims=128, n_filters=32, lstm=2, enc_ratios=(8, 5, 4, 2),
+            quantization=True, bandwidth=bw,
+        )
+        x = dev_batch(args.data, args.seconds, args.n_files)
+
+        @jax.jit
+        def decode(vd, vc, xx, key):
+            cond = cond_model.apply(vc, xx, method="get_cond")
+            raw = model.apply(vd, cond, method=lambda m, c: m.diff_model.cond_upsampler(c))
+            B = raw.shape[0]
+            img = raw / (jnp.max(jnp.abs(raw.reshape(B, -1)), axis=1)[:, None, None] + 1e-8)
+            diffusion = model.diffusion
+
+            def model_fn(z, t, c):
+                return model.apply(vd, z, t, c, True, method="diff_model_fn")
+
+            sample = diffusion.halfway_sampling(model_fn, img, args.midway_t, key, img)
+            return model.apply(vd, sample, method="decode")
+
+        x_hat = np.asarray(decode(vars_diff, vars_codec, x, jax.random.PRNGKey(0)))
+        # per-example scale alignment like the reference sampler output
+        # normalization (srcs/sample.py:131-134); SI-SNR is scale-invariant,
+        # mel distance is not, so align first
+        ref = np.asarray(x)[..., 0]
+        est = x_hat[..., 0]
+        gain = (ref * est).sum(-1, keepdims=True) / ((est * est).sum(-1, keepdims=True) + 1e-8)
+        est_aligned = est * gain
+        rows.append((
+            f"diffusion de-qtz @{bw} kbps ({args.midway_t}-step halfway)",
+            si_snr(ref, est),
+            mel_l1(x, jnp.asarray(est_aligned)[..., None]),
+        ))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--codec", default="")
+    ap.add_argument("--ae", default="")
+    ap.add_argument("--diff", default="")
+    ap.add_argument("--data", default="data_synth")
+    ap.add_argument("--seconds", type=float, default=2.4)
+    ap.add_argument("--n_files", type=int, default=32)
+    ap.add_argument("--midway_t", type=int, default=100)
+    ap.add_argument("--cond_bandwidth", type=float, default=1.5)
+    ap.add_argument("--ae_ratios", nargs="+", type=int, default=[8, 4])
+    ap.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 2])
+    args = ap.parse_args()
+
+    rows = []
+    vars_codec = None
+    if args.codec:
+        vars_codec = eval_codec(args, rows)
+    if args.ae:
+        eval_ae(args, rows)
+    if args.diff:
+        assert vars_codec is not None, "--diff needs --codec for conditioning"
+        eval_diffusion(args, rows, vars_codec)
+
+    print(f"\n{'config':<48} {'SI-SNR dB':>10} {'mel L1+L2':>10}")
+    for name, snr, mel in rows:
+        print(f"{name:<48} {snr:>10.2f} {mel:>10.3f}")
+
+
+if __name__ == "__main__":
+    main()

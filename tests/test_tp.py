@@ -76,3 +76,63 @@ def test_dp_tp_step_matches_single_device():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), out_state.params, ref_state.params
     )
     assert max(jax.tree_util.tree_leaves(d)) < 2e-4
+
+
+def test_dcn_two_level_mesh_matches_flat_dp():
+    """Hierarchical ('dcn', 'dp') 2x4 DP step == flat 8-way DP step ==
+    single-device step on the same global batch (multi-slice readiness,
+    reference capability srcs/encodec/manual_dist_train.py:113,130)."""
+    from ladiffcodec_tpu.parallel.mesh import make_mesh, dp_axis_names
+    from ladiffcodec_tpu.training import shard_map_step
+
+    model = DiffAudioRep(
+        rep_dims=16, n_filters=4, lstm=0, enc_ratios=(8, 5, 4),
+        quantization=True, bandwidth=1.5, rvq_kmeans_init=False,
+    )
+    B, L = 8, 640
+    x = jax.random.normal(jax.random.PRNGKey(0), (B, L, 1)) * 0.1
+    v = model.init(jax.random.PRNGKey(1), x)
+    # sgd, not adam: adam's first step is lr*sign(m), which amplifies
+    # reduction-order FP noise on near-zero grads to a full 2*lr
+    opt = optax.sgd(1e-3)
+
+    def fresh_state():
+        return TrainState(
+            step=jnp.asarray(0), params=v["params"], quantizer=v["quantizer"],
+            opt_state=opt.init(v["params"]),
+        )
+
+    # single-device reference (full batch, no collectives)
+    ref_state, ref_losses = jax.jit(make_train_step(model, opt))(
+        fresh_state(), x, jax.random.PRNGKey(2)
+    )
+
+    results = {}
+    for name, mesh in (
+        ("flat", make_mesh(8)),
+        ("dcn", make_mesh(8, dcn_slices=2)),
+    ):
+        axes = dp_axis_names(mesh)
+        if name == "dcn":
+            assert mesh.devices.shape == (2, 4) and axes == ("dcn", "dp")
+        step = shard_map_step(make_train_step(model, opt, axis_name=axes), mesh)
+        out_state, losses = step(fresh_state(), x, jax.random.PRNGKey(2))
+        results[name] = (out_state, losses)
+        np.testing.assert_allclose(
+            float(losses["tot_loss"]), float(ref_losses["tot_loss"]), rtol=1e-4
+        )
+        d = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.max(jnp.abs(a - b))),
+            out_state.params, ref_state.params,
+        )
+        assert max(jax.tree_util.tree_leaves(d)) < 2e-4, name
+
+    # RVQ EMA stats identical across topologies (dead-code expiry samples
+    # from shard 0's rows, which are the same rows in both 8-shard layouts;
+    # the single-device run samples from the full batch, so it is excluded)
+    dq = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(
+            jnp.asarray(a, jnp.float32) - jnp.asarray(b, jnp.float32)))),
+        results["flat"][0].quantizer, results["dcn"][0].quantizer,
+    )
+    assert max(jax.tree_util.tree_leaves(dq)) < 1e-4
