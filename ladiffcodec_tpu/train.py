@@ -236,7 +236,22 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         )
 
     if inp_args.finetune_model:
-        state = load_checkpoint_path(state, inp_args.finetune_model)
+        try:
+            state = load_checkpoint_path(state, inp_args.finetune_model)
+        except Exception:
+            # cross-stage restore (reference README.md:41-63: stage-3 loads
+            # the stage-2 continuous AE): merge matching param subtrees, keep
+            # fresh opt state (freeze_ed masks the loaded weights anyway)
+            from .utils.checkpoint import merge_matching, _rebuild_quantizer
+
+            raw = load_checkpoint_path(None, inp_args.finetune_model)
+            merged, n = merge_matching(state.params, raw.get("params", {}))
+            assert n > 0, f"no overlapping params in {inp_args.finetune_model}"
+            state = state.replace(params=merged)
+            if raw.get("quantizer") and state.quantizer:
+                state = state.replace(
+                    quantizer=_rebuild_quantizer(raw["quantizer"]))
+            print(f"partial finetune restore: {n} matching arrays loaded")
 
     # k-means codebook init on the first batch (reference: lazy init inside
     # the first forward, core_vq.py:139-150)

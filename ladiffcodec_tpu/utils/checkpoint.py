@@ -70,6 +70,32 @@ def load_model_variables(variables_template, path: tp.Union[str, Path]):
         return variables
 
 
+def merge_matching(dst, src):
+    """Recursively copy leaves of `src` into the structure of `dst` where the
+    path exists and the shape matches.  Returns (merged, n_loaded).
+
+    Supports the reference's stage-2 -> stage-3 workflow
+    (srcs/train.py README.md:41-63: `--finetune_model <continuous AE>
+    --freeze_ed`): the stage-3 TrainState has extra diff_model params that a
+    strict orbax restore rejects, so the encoder/decoder subtrees are merged
+    leaf-by-leaf instead."""
+    n = 0
+
+    def rec(d, s):
+        nonlocal n
+        if isinstance(d, dict) and isinstance(s, dict):
+            return {k: rec(v, s[k]) if k in s else v for k, v in d.items()}
+        if hasattr(d, "shape") and hasattr(s, "shape"):
+            if tuple(d.shape) == tuple(s.shape):
+                n += 1
+                import jax.numpy as jnp
+
+                return jnp.asarray(s, dtype=d.dtype)
+        return d
+
+    return rec(dst, src), n
+
+
 def _rebuild_quantizer(q):
     """Template-free orbax restore flattens RVQState into a plain dict;
     rebuild the struct the model expects."""

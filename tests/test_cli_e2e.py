@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from ladiffcodec_tpu.data.audio_io import write_wav, read_wav
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 @pytest.fixture(scope="module")

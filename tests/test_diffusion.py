@@ -13,6 +13,8 @@ from ladiffcodec_tpu.diffusion import (
     linear_beta_schedule,
 )
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
+
 
 def test_cosine_schedule_reference_values():
     betas = cosine_beta_schedule(1000)

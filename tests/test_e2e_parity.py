@@ -17,6 +17,7 @@ torch = pytest.importorskip("torch")
 
 from ref_shim import reference_modules, reference_quantization, _load, REF
 from ladiffcodec_tpu.utils import torch_convert as tc
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def sd_np(m):

@@ -10,6 +10,7 @@ from ladiffcodec_tpu.bitstream.encodec_model import EncodecModel
 from ladiffcodec_tpu.bitstream.train import EncodecTrainState, make_encodec_gan_step
 from ladiffcodec_tpu.models.msstftd import MultiScaleSTFTDiscriminator
 from ladiffcodec_tpu.losses.balancer import Balancer
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def test_gan_trainer_step_runs_and_updates():

@@ -1,6 +1,7 @@
 """Fused GroupNorm+FiLM+SiLU Pallas path: kernel equality vs flax ops, and
 whole-UNet equality fused (interpret) vs unfused with shared params."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,7 @@ import flax.linen as nn
 
 from ladiffcodec_tpu.ops.pallas_norm import fused_groupnorm_film_silu
 from ladiffcodec_tpu.models.unet1d import Unet1D
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def test_kernel_matches_flax_ops():

@@ -1,12 +1,14 @@
 """Driver-contract checks: entry() jits on one device; dryrun_multichip runs
 a real sharded training step on the 8-device CPU mesh."""
 
+import pytest
 import sys
 
 sys.path.insert(0, "/root/repo")
 
 import jax
 import numpy as np
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def test_dryrun_multichip_8():

@@ -9,6 +9,7 @@ import pytest
 
 from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
 from ladiffcodec_tpu.training import TrainState, make_train_step
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def _sine_batch(key, B=4, L=320):

@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from ladiffcodec_tpu.data.audio_io import write_wav, read_wav
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def test_decode_batch_groups_files(tmp_path):

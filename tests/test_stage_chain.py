@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from ladiffcodec_tpu.data.audio_io import write_wav
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 @pytest.fixture()
@@ -53,3 +54,37 @@ def test_stage1_checkpoint_feeds_stage3(corpus, tmp_path, monkeypatch):
         "--diff_dims", "16", "--n_filters", "4", "--lstm", "0",
         "--batch_size", "2", "--debug",
     ])
+
+
+def test_stage2_ae_finetunes_stage3(corpus, tmp_path, monkeypatch, capsys):
+    """Stage-3 `--finetune_model <stage-2 AE>` partially restores the
+    encoder/decoder even though the stage-3 TrainState has extra diff_model
+    params (reference README.md:41-63 workflow)."""
+    from ladiffcodec_tpu.train import main
+
+    monkeypatch.chdir(tmp_path)
+    out = str(tmp_path / "saved")
+
+    # stage 2: continuous AE, non-debug so model_best is written
+    main([
+        "--data_folder_path", corpus, "--seq_len_p_sec", "0.2",
+        "--enc_ratios", "8", "--model_type", "unet",
+        "--rep_dims", "16", "--emb_dims", "16", "--diff_dims", "16",
+        "--n_filters", "4", "--lstm", "0", "--batch_size", "2",
+        "--steps", "1", "--output_dir", out, "--exp_name", "ae",
+    ])
+    import os
+
+    ae_ckpt = os.path.join(out, "ae", "model_best")
+    assert os.path.isdir(ae_ckpt)
+
+    # stage 3: diffusion on top, loading the AE encoder/decoder
+    main([
+        "--data_folder_path", corpus, "--seq_len_p_sec", "0.32",
+        "--enc_ratios", "8", "--run_diff", "--model_type", "unet",
+        "--scaling_global", "--unet_scale_cond", "--freeze_ed",
+        "--finetune_model", ae_ckpt,
+        "--rep_dims", "16", "--emb_dims", "16", "--diff_dims", "16",
+        "--n_filters", "4", "--lstm", "0", "--batch_size", "2", "--debug",
+    ])
+    assert "partial finetune restore" in capsys.readouterr().out

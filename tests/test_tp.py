@@ -2,6 +2,7 @@
 the UNet channel dims over tp, batch over dp; result must match the
 single-device step."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -17,6 +18,8 @@ from ladiffcodec_tpu.parallel.tp import (
     shard_params,
     jit_dp_tp_train_step,
 )
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def test_dp_tp_step_matches_single_device():
