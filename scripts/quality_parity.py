@@ -12,6 +12,11 @@ Usage:
       --ladiff_ckpt model_1.5k.amlt --cond_ckpt codec_1.5k.amlt \
       --input_dir wavs/ [--midway_t 100] [--n_files 8]
 
+With --from_jax the two checkpoint args are orbax TrainState directories
+written by our trainer (stage-3 diffusion / stage-1 codec); they are exported
+to reference-layout torch state_dicts (utils/torch_export) so the SAME
+trained weights drive both pipelines.
+
 With trained checkpoints the JAX-vs-torch SI-SNR is the BASELINE.json
 "decoded waveforms matching the PyTorch reference" gate (samplers draw
 independent noise, so compare via SI-SNR/spectral distance, not sample-exact
@@ -49,6 +54,10 @@ def main():
     p.add_argument("--cond_enc_ratios", nargs="+", type=int, default=[8, 5, 4, 2])
     p.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 4, 2])
     p.add_argument("--diff_dims", type=int, default=256)
+    p.add_argument("--from_jax", action="store_true",
+                   help="checkpoint args are orbax TrainState dirs from our trainer")
+    p.add_argument("--cond_lstm", type=int, default=2)
+    p.add_argument("--dec_lstm", type=int, default=0)
     args = p.parse_args()
 
     import torch
@@ -62,22 +71,40 @@ def main():
     refq = reference_quantization()
     ddpm = _load("refmod", f"{REF}/losses", "ddpm_loss")
 
-    ladiff_sd = tc.load_torch_state_dict(args.ladiff_ckpt)
-    cond_sd = tc.load_torch_state_dict(args.cond_ckpt)
+    if args.from_jax:
+        from ladiffcodec_tpu.utils import torch_export as texp
+        from ladiffcodec_tpu.utils.checkpoint import load_checkpoint_path, _rebuild_quantizer
+
+        raw3 = load_checkpoint_path(None, args.ladiff_ckpt)
+        raw1 = load_checkpoint_path(None, args.cond_ckpt)
+        cond_sd = texp.seanet_encoder(
+            raw1["params"]["encoder"], "encoder", args.cond_enc_ratios, 1, args.cond_lstm)
+        cond_sd.update(texp.rvq_state_dict(
+            _rebuild_quantizer(raw1["quantizer"])["state"], "quantizer"))
+        ladiff_sd = texp.unet1d(raw3["params"]["diff_model"], "diff_model",
+                                n_stages=5)
+        ladiff_sd.update(texp.seanet_decoder(
+            raw3["params"]["decoder"], "decoder", args.enc_ratios, 1, args.dec_lstm))
+    else:
+        ladiff_sd = tc.load_torch_state_dict(args.ladiff_ckpt)
+        cond_sd = tc.load_torch_state_dict(args.cond_ckpt)
 
     # ---- torch side ----
     tsd = {k: torch.from_numpy(v) for k, v in ladiff_sd.items()}
     csd = {k: torch.from_numpy(v) for k, v in cond_sd.items()}
     cond_enc_t = ref.SEANetEncoder(channels=1, ratios=list(args.cond_enc_ratios),
-                                   causal=True, lstm=2)
+                                   causal=True, lstm=args.cond_lstm)
     n_q = int(1000 * args.bandwidth // (50 * 10))
-    rvq_t = refq.vq.ResidualVectorQuantizer(dimension=128, n_q=n_q, bins=1024)
+    # the checkpoint may carry more codebooks than the target bandwidth uses
+    n_layers = 1 + max(int(k.split(".")[2]) for k in cond_sd
+                       if k.startswith("quantizer.vq.layers."))
+    rvq_t = refq.vq.ResidualVectorQuantizer(dimension=128, n_q=n_layers, bins=1024)
     unet_t = ref.unet.Unet1D(dim=args.diff_dims, dim_mults=(1, 2, 2, 4, 4),
                              inp_channels=128, other_cond=True, cond_channels=128,
                              upsampling_ratios=list(args.upsampling_ratios),
                              unet_scale_cond=True)
     dec_t = ref.SEANetDecoder(channels=1, ratios=list(args.enc_ratios), causal=True,
-                              lstm=0)
+                              lstm=args.dec_lstm)
     cond_enc_t.load_state_dict({k[len("encoder."):]: v for k, v in csd.items()
                                 if k.startswith("encoder.")})
     rvq_t.load_state_dict({k[len("quantizer."):]: v for k, v in csd.items()
@@ -96,16 +123,20 @@ def main():
     from ladiffcodec_tpu.quantization import rvq_encode, rvq_decode
     from ladiffcodec_tpu.diffusion import GaussianDiffusion1D, make_schedule
 
-    enc_j = SEANetEncoder(channels=1, ratios=tuple(args.cond_enc_ratios), causal=True, lstm=2)
+    enc_j = SEANetEncoder(channels=1, ratios=tuple(args.cond_enc_ratios), causal=True,
+                          lstm=args.cond_lstm)
     unet_j = Unet1D(dim=args.diff_dims, dim_mults=(1, 2, 2, 4, 4), inp_channels=128,
                     other_cond=True, cond_channels=128,
                     upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True)
-    dec_j = SEANetDecoder(channels=1, ratios=tuple(args.enc_ratios), causal=True, lstm=0)
-    enc_p = {"params": tc.seanet_encoder(cond_sd, "encoder", args.cond_enc_ratios, 1, 2)}
+    dec_j = SEANetDecoder(channels=1, ratios=tuple(args.enc_ratios), causal=True,
+                          lstm=args.dec_lstm)
+    enc_p = {"params": tc.seanet_encoder(cond_sd, "encoder", args.cond_enc_ratios, 1,
+                                         args.cond_lstm)}
     rvq_s = tc.rvq_state(cond_sd, "quantizer")
     unet_p = {"params": tc.unet1d(ladiff_sd, "diff_model", 5,
                                   upsampling_ratios=tuple(args.upsampling_ratios))}
-    dec_p = {"params": tc.seanet_decoder(ladiff_sd, "decoder", args.enc_ratios, 1, 0)}
+    dec_p = {"params": tc.seanet_decoder(ladiff_sd, "decoder", args.enc_ratios, 1,
+                                         args.dec_lstm)}
     gd_j = GaussianDiffusion1D(schedule=make_schedule(1000, "cosine"))
 
     files = sorted(glob.glob(os.path.join(args.input_dir, "**/*.wav"),
