@@ -99,6 +99,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default="",
                         help="write a jax.profiler trace of training steps "
                              "2-6 of the first epoch to this directory")
+    parser.add_argument("--mel_weight", type=float, default=0.0,
+                        help="add w * multi-scale log-mel loss to the codec/AE "
+                             "objective (0 = reference-faithful neg-SDR only)")
     parser.add_argument("--melspec_compat", action="store_true",
                         help="reproduce the reference's single-scale melspec-loss bug")
     return parser
@@ -284,6 +287,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         step_fn = make_train_step(
             model, optimizer, cond_model, cond_vars, axis_name=axis_name,
             ema_decay=inp_args.ema_decay if inp_args.ema_decay > 0 else None,
+            mel_weight=inp_args.mel_weight if not inp_args.run_diff else 0.0,
         )
         if mesh:
             train_step = shard_map_step(step_fn, mesh)

@@ -63,8 +63,14 @@ def make_train_step(
     cond_variables: tp.Optional[tp.Any] = None,
     axis_name: tp.Optional[str] = None,
     ema_decay: tp.Optional[float] = None,
+    mel_weight: float = 0.0,
 ):
     """Single-objective step (stages 2-3: continuous AE / diffusion).
+
+    `mel_weight > 0` adds a multi-scale log-mel term on the reconstruction to
+    the optimizer target (opt-in: the reference's non-GAN stages train on
+    neg-SDR alone, srcs/model.py:209-221, which converges slowly from
+    scratch; the GAN stage uses the same melspec loss, train.py:133-139).
 
     Returns step(state, batch, key) -> (state, metrics dict).
     """
@@ -81,7 +87,12 @@ def make_train_step(
             mutable=["quantizer"],
         )
         losses, aux = out
-        return _first(losses), (losses, updates.get("quantizer", quantizer))
+        target = _first(losses)
+        if mel_weight:
+            mel = melspec_loss_fn(x, aux["x_hat"], range(5, 12))
+            target = target + mel_weight * mel
+            losses = dict(losses, mel=mel)
+        return target, (losses, updates.get("quantizer", quantizer))
 
     def step(state: TrainState, batch: jnp.ndarray, key: jax.Array):
         cond = None

@@ -156,18 +156,27 @@ def main():
     args = ap.parse_args()
 
     rng = np.random.default_rng(args.seed)
-    for split, n_spk, utt in (
-        ("train-clean-100", args.train_speakers, args.utt_per_speaker),
-        ("dev-clean", args.dev_speakers, max(4, args.utt_per_speaker // 2)),
-    ):
-        for s in range(n_spk):
-            spk = make_speaker(rng)
+    # dev-clean holds out UTTERANCES of the train speakers (plus extra unseen
+    # speakers when dev_speakers > 0), so reduced-scale quality runs measure
+    # reconstruction on in-distribution voices
+    speakers = [make_speaker(rng) for _ in range(args.train_speakers + args.dev_speakers)]
+    n_dev_utt = max(4, args.utt_per_speaker // 4)
+    for split in ("train-clean-100", "dev-clean"):
+        if split == "train-clean-100":
+            todo = [(s, speakers[s], args.utt_per_speaker, 0)
+                    for s in range(args.train_speakers)]
+        else:
+            todo = [(s, speakers[s], n_dev_utt, 1000)
+                    for s in range(args.train_speakers)]
+            todo += [(args.train_speakers + i, speakers[args.train_speakers + i],
+                      n_dev_utt, 1000) for i in range(args.dev_speakers)]
+        for s, spk, utt, base in todo:
             d = os.path.join(args.out, split, str(s), "0")
             os.makedirs(d, exist_ok=True)
             for u in range(utt):
                 wav = make_utterance(args.dur_s, spk, rng)
-                write_wav(os.path.join(d, f"{s}-0-{u}.wav"), wav, SR)
-        print(f"{split}: {n_spk} speakers x {utt} utts x {args.dur_s}s", flush=True)
+                write_wav(os.path.join(d, f"{s}-0-{base + u}.wav"), wav, SR)
+        print(f"{split}: {len(todo)} speakers x {args.dur_s}s", flush=True)
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@
 set -e
 cd "$(dirname "$0")/.."
 
-EPOCHS1=${EPOCHS1:-400}
+EPOCHS1=${EPOCHS1:-600}
 EPOCHS2=${EPOCHS2:-300}
 EPOCHS3=${EPOCHS3:-400}
 
@@ -14,13 +14,13 @@ echo "=== stage 1: discrete codec (RVQ @3kbps, hop 320) ==="
 timeout 7200 python -m ladiffcodec_tpu.train \
   --data_folder_path data_synth --seq_len_p_sec 1.0 \
   --enc_ratios 8 5 4 2 --quantization --bandwidth 3.0 --model_type unet \
-  --batch_size 64 --lr 6e-4 --exp_name stage1_codec_nodisc --steps "$EPOCHS1"
+  --batch_size 64 --lr 6e-4 --mel_weight 3.0 --exp_name stage1_codec_nodisc --steps "$EPOCHS1"
 
 echo "=== stage 2: continuous AE (hop 8) ==="
 timeout 7200 python -m ladiffcodec_tpu.train \
   --data_folder_path data_synth --seq_len_p_sec 1.2 \
   --enc_ratios 8 --model_type unet \
-  --batch_size 32 --lr 3e-4 --exp_name stage2_ae --steps "$EPOCHS2"
+  --batch_size 32 --lr 1e-3 --mel_weight 3.0 --exp_name stage2_ae --steps "$EPOCHS2"
 
 echo "=== stage 3: latent diffusion de-quantizer (cond @1.5 kbps) ==="
 timeout 10800 python -m ladiffcodec_tpu.train \
