@@ -66,6 +66,14 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--n_residual_layers", type=int, default=1)
     parser.add_argument("--enc_ratios", nargs="+", type=int)
     parser.add_argument("--final_activation", type=str, default=None)
+    parser.add_argument("--rvq_expire_threshold", type=float, default=2.0,
+                        help="EMA dead-code expiry threshold (vq.py default 2). "
+                             "0 disables expiry — the reference's EFFECTIVE "
+                             "training dynamics (its expiry is overwritten by "
+                             "the EMA normalization, core_vq.py:218-227); with "
+                             "small batch*frames per step an effective "
+                             "threshold of 2 churns the whole codebook and "
+                             "collapses training")
     # Diff model (262-274)
     parser.add_argument("--diff_dims", type=int, default=128)
     parser.add_argument("--qtz_condition", action="store_true")
@@ -138,6 +146,7 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         lstm=inp_args.lstm,
         quantization=inp_args.quantization,
         bandwidth=inp_args.bandwidth,
+        rvq_threshold_ema_dead_code=inp_args.rvq_expire_threshold,
         sample_rate=inp_args.sample_rate,
         enc_ratios=tuple(inp_args.enc_ratios) if inp_args.enc_ratios else (8, 5, 4, 2),
         run_diff=inp_args.run_diff,

@@ -13,7 +13,7 @@ EPOCHS3=${EPOCHS3:-400}
 echo "=== stage 1: discrete codec (RVQ @3kbps, hop 320) ==="
 timeout 7200 python -m ladiffcodec_tpu.train \
   --data_folder_path data_synth --seq_len_p_sec 1.0 \
-  --enc_ratios 8 5 4 2 --quantization --bandwidth 3.0 --model_type unet \
+  --enc_ratios 8 5 4 2 --quantization --bandwidth 3.0 --rvq_expire_threshold 0 --model_type unet \
   --batch_size 64 --lr 6e-4 --mel_weight 3.0 --exp_name stage1_codec_nodisc --steps "$EPOCHS1"
 
 echo "=== stage 2: continuous AE (hop 8) ==="
