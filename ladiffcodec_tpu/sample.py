@@ -87,6 +87,10 @@ def get_parser() -> argparse.ArgumentParser:
                         choices=["bfloat16", "float32"],
                         help="activation dtype for the denoiser/decoder "
                              "(params stay float32; schedule math stays f32)")
+    parser.add_argument("--param_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="cast model weights for decode (bfloat16 halves "
+                             "weight HBM reads in the denoise scan)")
     parser.add_argument("--bucket_s", type=float, default=0.0,
                         help="pad files up to multiples of this many seconds "
                              "to bound recompilation (0 = exact lengths)")
@@ -144,6 +148,15 @@ def build_main_model(inp_args) -> DiffAudioRep:
 
 def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=True):
     """One jitted function: wav -> cond codec -> diffusion decode -> wav."""
+
+    if getattr(inp_args, "param_dtype", "float32") == "bfloat16":
+        # bf16 weights halve the weight HBM traffic of the denoise scan;
+        # norm statistics still accumulate in f32 inside the modules
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables,
+        )
 
     @partial(jax.jit, static_argnums=(2,))
     def decode(wav: jnp.ndarray, key: jax.Array, midway_t: int):
