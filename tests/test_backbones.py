@@ -9,6 +9,8 @@ from ladiffcodec_tpu.models.transformer import TransformerDDPM, transformer_posi
 from ladiffcodec_tpu.models.unet2d import UNet2D
 from ladiffcodec_tpu.diffusion.lab import DenoiseDiffusion
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
+
 
 def test_positional_encoding_shape():
     e = transformer_positional_encoding(10, 32)

@@ -105,6 +105,7 @@ def test_vae_branch():
     )
 
 
+@pytest.mark.slow
 def test_diff_audio_time():
     """Waveform-domain diffusion (reference model.py:241-295)."""
     from ladiffcodec_tpu.models.diff_rep import DiffAudioTime

@@ -6,6 +6,8 @@ import pytest
 
 from ladiffcodec_tpu.models.seanet import SEANetEncoder, SEANetDecoder
 
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
+
 
 @pytest.mark.parametrize(
     "ratios,length",

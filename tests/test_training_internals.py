@@ -2,12 +2,15 @@
 48 kHz stereo EnCodec path (segments + volume normalize + time_group_norm)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import optax
 
 from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
 from ladiffcodec_tpu.training import TrainState, make_optimizer, make_train_step
+
+pytestmark = pytest.mark.slow  # compile-heavy; excluded from `pytest -m 'not slow'`
 
 
 def test_freeze_ed_only_updates_diff_model():

@@ -23,6 +23,7 @@ def test_scale_feature_map():
     assert float(jnp.max(jnp.abs(y))) == pytest.approx(1.0, rel=1e-5)
 
 
+@pytest.mark.slow
 def test_unet_uncond_smoke():
     """Reference inline test (unet.py:472-480): dims 64, mults (1,2,4,4)."""
     unet = Unet1D(dim=32, dim_mults=(1, 2, 4, 4), inp_channels=3)
