@@ -38,6 +38,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["ddim50", "halfway100"], default="ddim50")
     ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--param_dtype", choices=["float32", "bfloat16"], default="float32",
+                    help="bfloat16 halves weight HBM reads in the denoise scan")
     args = ap.parse_args()
 
     from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
@@ -83,6 +85,13 @@ def main() -> None:
     variables = model.init(jax.random.PRNGKey(2), x1, cond=cond)
 
     diffusion = model.diffusion
+
+    if args.param_dtype == "bfloat16":
+        variables = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if hasattr(a, "dtype") and a.dtype == jnp.float32 else a,
+            variables,
+        )
 
     @jax.jit
     def decode(variables, cond_vars, wav, key):

@@ -96,8 +96,9 @@ def main():
                                    causal=True, lstm=args.cond_lstm)
     n_q = int(1000 * args.bandwidth // (50 * 10))
     # the checkpoint may carry more codebooks than the target bandwidth uses
-    n_layers = 1 + max(int(k.split(".")[2]) for k in cond_sd
-                       if k.startswith("quantizer.vq.layers."))
+    n_layers = 1 + max(
+        int(k.split("quantizer.vq.layers.")[1].split(".")[0])
+        for k in cond_sd if k.startswith("quantizer.vq.layers."))
     rvq_t = refq.vq.ResidualVectorQuantizer(dimension=128, n_q=n_layers, bins=1024)
     unet_t = ref.unet.Unet1D(dim=args.diff_dims, dim_mults=(1, 2, 2, 4, 4),
                              inp_channels=128, other_cond=True, cond_channels=128,
@@ -141,7 +142,7 @@ def main():
 
     files = sorted(glob.glob(os.path.join(args.input_dir, "**/*.wav"),
                              recursive=True))[: args.n_files]
-    scores_tj, scores_to, scores_jo = [], [], []
+    scores_tj, scores_to, scores_jo, scores_lat, scores_dec = [], [], [], [], []
     for f in files:
         audio, sr = read_wav(f)
         audio = resample(audio, sr, 16000)
@@ -169,13 +170,27 @@ def main():
         sj = gd_j.halfway_sampling(model_fn, imgj, args.midway_t, jax.random.PRNGKey(0), qj)
         y_j = np.asarray(dec_j.apply(dec_p, sj))[0, :, 0]
 
+        # latent-domain agreement (pre-decoder): localizes divergence —
+        # the causal LSTM decoder chaotically amplifies tiny kernel-level
+        # differences when the sample rides the clip boundary
+        lat_t = s.numpy()[0].T.reshape(-1)
+        lat_j = np.asarray(sj)[0].reshape(-1)
+        scores_lat.append(si_snr(lat_t, lat_j))
+
+        # decoder-only agreement: both decoders on the SAME (torch) latent
+        y_cross = np.asarray(dec_j.apply(dec_p, jnp.asarray(s.numpy().transpose(0, 2, 1))))[0, :, 0]
+        scores_dec.append(si_snr(y_t, y_cross))
+
         scores_tj.append(si_snr(y_t, y_j))
         scores_to.append(si_snr(wav[0], y_t))
         scores_jo.append(si_snr(wav[0], y_j))
-        print(f"{os.path.basename(f)}: torch-vs-jax {scores_tj[-1]:.2f} dB | "
+        print(f"{os.path.basename(f)}: torch-vs-jax {scores_tj[-1]:.2f} dB "
+              f"(latent {scores_lat[-1]:.2f}) | "
               f"torch-vs-orig {scores_to[-1]:.2f} | jax-vs-orig {scores_jo[-1]:.2f}")
 
-    print(f"\nmean torch-vs-jax SI-SNR: {np.mean(scores_tj):.2f} dB over {len(files)} files")
+    print(f"\nmean torch-vs-jax SI-SNR: {np.mean(scores_tj):.2f} dB over {len(files)} files"
+          f" (latent domain {np.mean(scores_lat):.2f} dB, decoder-only "
+          f"{np.mean(scores_dec):.2f} dB)")
     print(f"mean vs original: torch {np.mean(scores_to):.2f} dB, jax {np.mean(scores_jo):.2f} dB")
 
 
