@@ -100,6 +100,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--disc_freq", type=int, default=1)
     # TPU-native extras
     parser.add_argument("--steps", type=int, default=50000)
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="fuse N optimizer steps into one jitted lax.scan "
+                             "dispatch (amortizes host->device dispatch of the "
+                             "TrainState, which dominates wall time on "
+                             "remote-tunnel runtimes); single-device non-GAN "
+                             "path only; per-epoch remainder batches are "
+                             "dropped")
     parser.add_argument("--dp_devices", type=int, default=0, help="0 = all visible")
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="EMA shadow of params (0 = off; reference builds "
@@ -302,6 +309,11 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             train_step = shard_map_step(step_fn, mesh)
         else:
             train_step = jax.jit(step_fn)
+        if inp_args.steps_per_dispatch > 1 and not mesh:
+            from .training import make_scanned_step
+
+            train_step = jax.jit(
+                make_scanned_step(step_fn, inp_args.steps_per_dispatch))
 
     def eval_losses(state, batch, key):
         cond = None
@@ -351,6 +363,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         tot: tp.Dict[str, float] = {}
         n = 0
         tracing = False
+        spd = inp_args.steps_per_dispatch if (not inp_args.use_disc and not mesh) else 1
+        acc: tp.List[jnp.ndarray] = []
         for batch in train_loader:
             if inp_args.profile_dir and step_i == 0 and n == 1 and not tracing:
                 jax.profiler.start_trace(inp_args.profile_dir)
@@ -365,6 +379,12 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                 if n % inp_args.disc_freq == 0:
                     state, l_d = disc_step(state, batch, x_hat)
                     metrics = dict(metrics, l_d=l_d)
+            elif spd > 1:
+                acc.append(batch)
+                if len(acc) < spd:
+                    continue
+                state, metrics = train_step(state, jnp.stack(acc), sub)
+                acc = []
             else:
                 state, metrics = train_step(state, batch, sub)
             for k, v in metrics.items():

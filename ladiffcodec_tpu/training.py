@@ -125,6 +125,31 @@ def make_train_step(
     return step
 
 
+def make_scanned_step(step_fn, n: int):
+    """Fuse `n` sequential train steps into ONE dispatch via `lax.scan`.
+
+    Host->device dispatch of a large TrainState pytree costs ~100-200 ms per
+    call through a remote-tunnel runtime while the device step itself is
+    single-digit ms (BASELINE.md GAN profile), so amortizing n steps per
+    dispatch raises wall-clock training throughput by up to n-fold.  Takes
+    stacked batches (n, B, ...) and one key; metrics are averaged over the n
+    inner steps.
+    """
+
+    def scanned(state, batches, key):
+        keys = jax.random.split(key, batches.shape[0])
+
+        def body(carry, xs):
+            batch, k = xs
+            new_state, metrics = step_fn(carry, batch, k)
+            return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    return scanned
+
+
 def make_gan_train_step(
     model: DiffAudioRep,
     disc: MultiScaleSTFTDiscriminator,

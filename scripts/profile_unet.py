@@ -86,18 +86,24 @@ def parse_trace(trace_dir):
     data = ProfileData.from_file(paths[-1])
     cats = collections.Counter()
     names = collections.Counter()
+    lines_seen = []
     for plane in data.planes:
         if "TPU" not in plane.name and "tpu" not in plane.name.lower():
             continue
         for line in plane.lines:
-            if "XLA Op" not in line.name and "Steps" not in line.name:
-                # device op lines are usually named like 'XLA Ops' / per-core
-                pass
+            lines_seen.append(f"{plane.name}/{line.name}")
+            # only the synchronous op timeline: async DMA lines and the
+            # module-level "XLA Modules" events overlap compute and would
+            # double-count
+            if line.name != "XLA Ops":
+                continue
             for ev in line.events:
                 dur = ev.duration_ns
                 name = ev.name
                 cats[categorize(name)] += dur
                 names[name] += dur
+    if not cats:
+        print("no 'XLA Ops' line found; lines:", lines_seen[:20])
     total = sum(cats.values())
     if not total:
         print("trace parsed but no TPU events; planes:", [p.name for p in data.planes])
@@ -135,38 +141,45 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--trace_dir", default="/tmp/unet_trace")
     ap.add_argument("--seconds", type=float, default=2.4)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--scan_steps", type=int, default=20,
+                    help="time a lax.scan of N chained denoise steps (robust "
+                         "against per-dispatch timing artifacts)")
     args = ap.parse_args()
 
     print("backend:", jax.default_backend(), jax.devices()[0])
 
-    model, variables, x16, c16 = build(16, args.seconds)
-    t = jnp.full((16,), 50, jnp.int32)
+    B = args.batch
+    model, variables, x16, c16 = build(B, args.seconds)
+    t = jnp.full((B,), 50, jnp.int32)
     fn = denoise_fn(model, cast_params=False)
 
-    dt = time_fn(fn, variables, x16, t, c16)
-    print(f"baseline  batch16 f32-params : {dt*1e3:8.3f} ms/step")
+    # scan-of-N timing: one dispatch, N sequential model calls — the same
+    # structure the samplers use, immune to dispatch pipelining artifacts
+    N = args.scan_steps
+    dtype = jnp.bfloat16
 
-    # trace the baseline
-    y = fn(variables, x16, t, c16); jax.block_until_ready(y)
+    @jax.jit
+    def scan_fn(variables, z, c):
+        def body(carry, _):
+            out = model.apply(
+                variables, carry.astype(dtype), t, c.astype(dtype), True,
+                method="diff_model_fn",
+            )
+            return out.astype(jnp.float32), None
+        z, _ = jax.lax.scan(body, z, None, length=N)
+        return z
+
+    dt_scan = time_fn(scan_fn, variables, x16, c16, iters=3)
+    print(f"scan of {N} denoise steps, batch{B}: {dt_scan*1e3:8.1f} ms "
+          f"= {dt_scan/N*1e3:.3f} ms/step ({dt_scan/N/B*1e3:.4f} ms/example)")
+
+    # trace the scan (one dispatch -> clean op timeline)
+    y = scan_fn(variables, x16, c16); jax.block_until_ready(y)
     with jax.profiler.trace(args.trace_dir):
-        for _ in range(5):
-            y = fn(variables, x16, t, c16)
+        y = scan_fn(variables, x16, c16)
         jax.block_until_ready(y)
     parse_trace(args.trace_dir)
-
-    # bf16 params
-    fnb = denoise_fn(model, cast_params=True)
-    dtb = time_fn(fnb, variables, x16, t, c16)
-    print(f"bf16-params batch16          : {dtb*1e3:8.3f} ms/step")
-
-    # batch sweep
-    for b in (8, 32):
-        xb = jnp.asarray(np.random.RandomState(2).randn(b, x16.shape[1], 128).astype(np.float32))
-        cb = xb + 0.1
-        tb = jnp.full((b,), 50, jnp.int32)
-        dtx = time_fn(fn, variables, xb, tb, cb, iters=10)
-        print(f"baseline  batch{b:<2} f32-params : {dtx*1e3:8.3f} ms/step  "
-              f"({dtx/b*1e3:.3f} ms/example)")
 
 
 if __name__ == "__main__":

@@ -83,3 +83,38 @@ def test_encodec_48khz_stereo_segments():
     y = m.forward(v, x)
     assert y.shape == x.shape
     assert np.isfinite(y).all()
+
+
+def test_scanned_step_matches_sequential():
+    """make_scanned_step(n): one lax.scan dispatch == n sequential steps."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
+    from ladiffcodec_tpu.training import TrainState, make_train_step, make_scanned_step
+
+    m = DiffAudioRep(enc_ratios=(8, 4), rep_dims=8, n_filters=4, lstm=0)
+    batches = jax.random.normal(jax.random.PRNGKey(0), (3, 2, 64, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(1), batches[0])
+    opt = optax.adam(1e-3)
+    s0 = TrainState(step=jnp.asarray(0), params=v["params"], quantizer={},
+                    opt_state=opt.init(v["params"]))
+    step = make_train_step(m, opt)
+
+    key = jax.random.PRNGKey(42)
+    seq = s0
+    for i in range(3):
+        seq, last = jax.jit(step)(seq, batches[i], jax.random.split(key, 3)[i])
+
+    scanned = jax.jit(make_scanned_step(step, 3))
+    fused, metrics = scanned(s0, batches, key)
+
+    assert int(fused.step) == 3
+    # scan-body vs standalone-jit compile differences reassociate the Adam
+    # rsqrt chain; equivalence is structural, not bitwise
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=5e-2, atol=1e-3),
+        seq.params, fused.params)
+    assert np.isfinite(float(metrics["neg_sdr"]))
