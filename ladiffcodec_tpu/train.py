@@ -334,6 +334,16 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     write_on_every = 5 if not inp_args.debug else 1
     rng = jax.random.PRNGKey(42)
 
+    if inp_args.finetune_model and not inp_args.debug:
+        # resuming: seed best_loss from the restored weights so the first
+        # (typically worse) eval does not overwrite the previous model_best
+        rng, sub = jax.random.split(rng)
+        init_val = run_eval_epoch(
+            lambda s, b, k: eval_step(s, b, k), state, valid_loader, cond_vars, sub
+        )
+        best_loss = list(init_val.values())[-1]
+        print(f"finetune baseline val (selection metric): {best_loss:.4f}")
+
     # preemption safety (the failure handling the reference lacks, SURVEY
     # §5.3): SIGTERM triggers a full-TrainState checkpoint, so --finetune_model
     # resumes with optimizer state intact.
