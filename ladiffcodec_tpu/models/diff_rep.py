@@ -38,7 +38,11 @@ from ..quantization.core import (
 from ..diffusion.gaussian import GaussianDiffusion1D, make_schedule
 from ..losses.losses_fn import sdr_loss, prior_loss_fn
 
-GLOBAL_SCALE = 18.0  # the hardcoded global latent normalizer (model.py:166,236)
+GLOBAL_SCALE = 18.0  # the reference's hardcoded global latent normalizer
+# (model.py:166,236).  18.0 implicitly assumes the encoder's latents have
+# ~18 max-abs so rep/18 is ~unit range; an encoder with a different natural
+# scale needs `global_scale` set so the diffusion operates on O(1) signals
+# (a latent std << diffusion noise std makes x0 unrecoverable from eps-hat).
 
 
 class DiffAudioRep(nn.Module):
@@ -85,6 +89,7 @@ class DiffAudioRep(nn.Module):
     learned_sinusoidal_cond: bool = False
     random_fourier_features: bool = False
     learned_sinusoidal_dim: int = 16
+    global_scale: float = GLOBAL_SCALE  # scaling_global divisor
     # RVQ hyperparameters (reference vq.py defaults)
     bins: int = 1024
     rvq_decay: float = 0.99
@@ -283,7 +288,7 @@ class DiffAudioRep(nn.Module):
 
     def get_scale(self, x: jnp.ndarray):
         x_rep = self.encoder(x)
-        _, scale = self.scaling(x_rep, global_max=GLOBAL_SCALE)
+        _, scale = self.scaling(x_rep, global_max=self.global_scale)
         return scale
 
     def kmeans_init(self, x: jnp.ndarray, key: jax.Array):
@@ -340,7 +345,7 @@ class DiffAudioRep(nn.Module):
 
         aux: tp.Dict[str, tp.Any] = {}
         if self.run_diff:
-            x_rep_s, scale = self.scaling(x_rep, global_max=GLOBAL_SCALE)
+            x_rep_s, scale = self.scaling(x_rep, global_max=self.global_scale)
             if self.model_type == "unet2d":
                 # labml DenoiseDiffusion path (reference model.py:168-172)
                 from ..diffusion.lab import DenoiseDiffusion

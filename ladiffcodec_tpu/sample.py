@@ -60,6 +60,7 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--scaling_frame", action="store_true")
     parser.add_argument("--scaling_feature", action="store_true")
     parser.add_argument("--scaling_global", action="store_true")
+    parser.add_argument("--global_scale", type=float, default=18.0)
     parser.add_argument("--scaling_dim", action="store_true")
     parser.add_argument("--sampling_timesteps", type=int, default=1000)
     parser.add_argument("--use_film", action="store_true")
@@ -91,6 +92,19 @@ def get_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"],
                         help="cast model weights for decode (bfloat16 halves "
                              "weight HBM reads in the denoise scan)")
+    parser.add_argument("--no_descale_latent", dest="descale_latent",
+                        action="store_false", default=True,
+                        help="reproduce the reference sampler's raw decode of "
+                             "the /18-space sample (srcs/sample.py:131) "
+                             "instead of the training contract decoder(z*18)")
+    parser.add_argument("--img_scale", type=float, default=1.0,
+                        help="multiply the halfway-chain start image by this "
+                             "latent-scale constant.  The reference's global "
+                             "18.0 normalizes ITS encoder's latents to ~unit "
+                             "max-abs so img at 1.0 is on-distribution "
+                             "(sample.py:125-129); a model whose latents/18 "
+                             "sit at a different max-abs needs that value "
+                             "here (measure: max|encode(x)/18| on train data)")
     parser.add_argument("--bucket_s", type=float, default=0.0,
                         help="pad files up to multiples of this many seconds "
                              "to bound recompilation (0 = exact lengths)")
@@ -121,6 +135,7 @@ def build_main_model(inp_args) -> DiffAudioRep:
         scaling_frame=inp_args.scaling_frame,
         scaling_feature=inp_args.scaling_feature,
         scaling_global=inp_args.scaling_global,
+        global_scale=inp_args.global_scale,
         scaling_dim=inp_args.scaling_dim,
         use_film=inp_args.use_film,
         cond_global=inp_args.cond_global,
@@ -179,18 +194,25 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=
             )
             return out.astype(jnp.float32)
 
+        chain_img = img * inp_args.img_scale
         if inp_args.sampler == "ddim":
             sample = diffusion.ddim_from(
-                model_fn, img, midway_t, inp_args.sampling_timesteps, key, cond_p
+                model_fn, chain_img, midway_t, inp_args.sampling_timesteps, key, cond_p
             )
         elif inp_args.sampler == "full":
             sample = diffusion.p_sample_loop(model_fn, img.shape, key, cond_p)
         elif inp_args.sampler == "infilling":
             sample = diffusion.infilling(
-                model_fn, img, cond_p, midway_t, key, lam=inp_args.infill_lam
+                model_fn, chain_img, cond_p, midway_t, key, lam=inp_args.infill_lam
             )
         else:
-            sample = diffusion.halfway_sampling(model_fn, img, midway_t, key, cond_p)
+            sample = diffusion.halfway_sampling(model_fn, chain_img, midway_t, key, cond_p)
+        if inp_args.descale_latent and inp_args.scaling_global:
+            # decode with the training contract x_hat = decoder(sample * 18)
+            # (model.py); the reference's shipped sampler feeds the /18-space
+            # sample to the decoder raw (srcs/sample.py:131 — its intended
+            # descale survives only as the commented-out line 100).
+            sample = sample * inp_args.global_scale
         x_hat = model.apply(variables, sample.astype(cdtype), method="decode")
         x_hat = x_hat.astype(jnp.float32)
         if normalize:

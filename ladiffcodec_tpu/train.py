@@ -84,6 +84,11 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--scaling_frame", action="store_true")
     parser.add_argument("--scaling_feature", action="store_true")
     parser.add_argument("--scaling_global", action="store_true")
+    parser.add_argument("--global_scale", type=float, default=18.0,
+                        help="scaling_global divisor (reference hardcodes 18, "
+                             "assuming ~18 max-abs encoder latents; set to "
+                             "your encoder's max-abs so diffusion sees O(1) "
+                             "signals)")
     parser.add_argument("--scaling_dim", action="store_true")
     parser.add_argument("--use_film", action="store_true")
     parser.add_argument("--unet_scale_cond", action="store_true")
@@ -135,6 +140,7 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         scaling_frame=inp_args.scaling_frame,
         scaling_feature=inp_args.scaling_feature,
         scaling_global=inp_args.scaling_global,
+        global_scale=inp_args.global_scale,
         scaling_dim=inp_args.scaling_dim,
         use_film=inp_args.use_film,
         cond_global=inp_args.cond_global,

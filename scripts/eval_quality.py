@@ -110,7 +110,8 @@ def eval_diffusion(args, rows, vars_codec):
     model = DiffAudioRep(
         rep_dims=128, diff_dims=128, n_filters=32, lstm=2,
         enc_ratios=tuple(args.ae_ratios), run_diff=True, model_type="unet",
-        scaling_global=True, other_cond=True, cond_channels=128,
+        scaling_global=True, global_scale=args.global_scale,
+        other_cond=True, cond_channels=128,
         upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True,
     )
     for bw in (args.cond_bandwidth,):
@@ -128,11 +129,27 @@ def eval_diffusion(args, rows, vars_codec):
             img = raw / (jnp.max(jnp.abs(raw.reshape(B, -1)), axis=1)[:, None, None] + 1e-8)
             diffusion = model.diffusion
 
+            # the reference's hardcoded global 18.0 normalizes ITS encoder's
+            # latents to ~unit max-abs, so its chain start (img at max-abs 1)
+            # is on-distribution (srcs/sample.py:125-129, model.py:166).  Our
+            # stage-2 encoder has its own scale — measure it from the frozen
+            # encoder and start the chain at the latent scale the denoiser
+            # was trained on.
+            rep = model.apply(vd, xx, method="encode") / args.global_scale
+            lat_scale = jnp.mean(
+                jnp.max(jnp.abs(rep.reshape(B, -1)), axis=1))
+            chain_img = img * lat_scale
+
             def model_fn(z, t, c):
                 return model.apply(vd, z, t, c, True, method="diff_model_fn")
 
-            sample = diffusion.halfway_sampling(model_fn, img, args.midway_t, key, img)
-            return model.apply(vd, sample, method="decode")
+            sample = diffusion.halfway_sampling(model_fn, chain_img, args.midway_t, key, img)
+            # decode with the TRAINING contract in_dec = pred_x_start * 18
+            # (model.py x_hat path).  The reference's shipped sampler decodes
+            # the /18-space sample raw (srcs/sample.py:131; its intended
+            # descale survives only as the commented line 100) — a latent
+            # defect we do not reproduce here.
+            return model.apply(vd, sample * args.global_scale, method="decode")
 
         x_hat = np.asarray(decode(vars_diff, vars_codec, x, jax.random.PRNGKey(0)))
         # per-example scale alignment like the reference sampler output
@@ -159,6 +176,7 @@ def main():
     ap.add_argument("--n_files", type=int, default=32)
     ap.add_argument("--midway_t", type=int, default=100)
     ap.add_argument("--cond_bandwidth", type=float, default=1.5)
+    ap.add_argument("--global_scale", type=float, default=18.0)
     ap.add_argument("--ae_ratios", nargs="+", type=int, default=[8, 4])
     ap.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 2])
     args = ap.parse_args()
