@@ -40,6 +40,10 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--param_dtype", choices=["float32", "bfloat16"], default="float32",
                     help="bfloat16 halves weight HBM reads in the denoise scan")
+    ap.add_argument("--attn_layout", choices=["bhtd", "bthd"], default="bhtd",
+                    help="bthd removes the attention head-split transposes")
+    ap.add_argument("--chain_dtype", choices=["float32", "bfloat16"], default="float32",
+                    help="dtype of the denoise-scan carry + posterior math")
     args = ap.parse_args()
 
     from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
@@ -65,6 +69,7 @@ def main() -> None:
         cond_channels=128,
         upsampling_ratios=(5, 4, 2),
         unet_scale_cond=True,
+        attn_layout=args.attn_layout,
     )
     cond_model = DiffAudioRep(
         rep_dims=128,
@@ -100,13 +105,16 @@ def main() -> None:
         B = raw.shape[0]
         img = raw / (jnp.max(jnp.abs(raw.reshape(B, -1)), 1)[:, None, None] + 1e-8)
 
+        chdtype = jnp.bfloat16 if args.chain_dtype == "bfloat16" else jnp.float32
+
         def model_fn(xx, tt, cc):
             out = model.apply(
                 variables, xx.astype(dtype), tt, cc.astype(dtype), True,
                 method="diff_model_fn",
             )
-            return out.astype(jnp.float32)
+            return out.astype(chdtype)
 
+        img = img.astype(chdtype)
         if args.mode == "halfway100":
             sample = diffusion.halfway_sampling(model_fn, img, 100, key, img)
         else:

@@ -40,6 +40,10 @@ def get_parser():
     )
     parser.add_argument("--hq", action="store_true", help="48 kHz stereo model")
     parser.add_argument("--lm", action="store_true", help="Entropy coding with the LM")
+    parser.add_argument("--lm_device", type=str, default="auto",
+                        help="device for the streaming LM step: auto (CPU when "
+                             "the default backend is an accelerator), cpu, or "
+                             "default")
     parser.add_argument("-f", "--force", action="store_true", help="Overwrite output")
     parser.add_argument(
         "-r", "--rescale", action="store_true", help="Rescale output to avoid clipping"
@@ -103,7 +107,8 @@ def main(argv=None):
             lm, lm_vars = _make_lm(model)
         with open(args.input, "rb") as fo:
             out, sr = decompress_from_file(
-                fo, variables=variables, model=model, lm=lm, lm_vars=lm_vars
+                fo, variables=variables, model=model, lm=lm, lm_vars=lm_vars,
+                lm_device=args.lm_device,
             )
         check_clipping(out, args)
         if args.rescale:
@@ -125,7 +130,8 @@ def main(argv=None):
         audio = convert_audio(audio, sr, model.sample_rate, model.channels)
         with open(args.output, "wb") as fo:
             compress_to_file(
-                model, variables, audio, fo, use_lm=args.lm, lm=lm, lm_vars=lm_vars
+                model, variables, audio, fo, use_lm=args.lm, lm=lm, lm_vars=lm_vars,
+                lm_device=args.lm_device,
             )
     print(f"{args.input} -> {args.output}")
 

@@ -32,10 +32,39 @@ MODELS = {
 }
 
 
-def _lm_step_fn(lm, lm_vars):
-    @jax.jit
+def resolve_lm_device(lm_device: str = "auto"):
+    """Map an `lm_device` policy to a jax.Device or None (= default device).
+
+    "cpu" pins the per-frame streaming LM step to the host CPU backend.  On a
+    remote-tunnel TPU runtime each of the 50 per-audio-second LM dispatches
+    pays ~100-200 ms of tunnel round-trip, capping --lm coding at ~0.2x RT;
+    the 18 MB LM runs the same step on host CPU in well under a millisecond
+    while the codec stays on the accelerator.  "auto" = cpu when the default
+    backend is a remote/accelerator platform, else default.  CDF stability
+    across the two ends is guaranteed by the quantized-CDF grid
+    (build_stable_quantized_cdfs' 1e-8 roundoff floor, ac.py), the same
+    contract that makes the reference's coder machine-portable."""
+    if lm_device in (None, "", "default"):
+        return None
+    if lm_device == "auto":
+        try:
+            if jax.default_backend() == "cpu":
+                return None
+            return jax.devices("cpu")[0]
+        except RuntimeError:
+            return None
+    return jax.devices(lm_device)[0]
+
+
+def _lm_step_fn(lm, lm_vars, device=None):
+    if device is not None:
+        lm_vars = jax.device_put(lm_vars, device)
+    jstep = jax.jit(lambda v, indices, states, offset: lm.apply(v, indices, states, offset))
+
     def step(indices, states, offset):
-        return lm.apply(lm_vars, indices, states, offset)
+        # committed lm_vars pin compilation + execution to `device`;
+        # indices/states follow (numpy / prior-step outputs)
+        return jstep(lm_vars, indices, states, offset)
 
     return step
 
@@ -48,6 +77,7 @@ def compress_to_file(
     use_lm: bool = False,
     lm=None,
     lm_vars=None,
+    lm_device: str = "auto",
 ) -> None:
     """wav: (channels, L) at model.sample_rate (reference compress.py:28-89)."""
     assert wav.ndim == 2, "Only single waveform can be encoded."
@@ -64,7 +94,7 @@ def compress_to_file(
 
     if use_lm:
         assert lm is not None and lm_vars is not None
-        lm_step = _lm_step_fn(lm, lm_vars)
+        lm_step = _lm_step_fn(lm, lm_vars, resolve_lm_device(lm_device))
 
     for (frame, scale) in frames:
         if scale is not None:
@@ -115,6 +145,7 @@ def decompress_from_file(
     model: tp.Optional[EncodecModel] = None,
     lm=None,
     lm_vars=None,
+    lm_device: str = "auto",
 ) -> tp.Tuple[np.ndarray, int]:
     """Returns (wav (channels, L), sample_rate).  Reference compress.py:92-156."""
     metadata = binary.read_ecdc_header(fo)
@@ -128,7 +159,7 @@ def decompress_from_file(
 
     if use_lm:
         assert lm is not None and lm_vars is not None
-        lm_step = _lm_step_fn(lm, lm_vars)
+        lm_step = _lm_step_fn(lm, lm_vars, resolve_lm_device(lm_device))
 
     frames: tp.List[EncodedFrame] = []
     segment_length = model.segment_length or audio_length
@@ -197,12 +228,16 @@ def decompress_from_file(
     return np.moveaxis(wav[0], -1, 0)[:, :audio_length], model.sample_rate
 
 
-def compress(model, variables, wav, use_lm: bool = False, lm=None, lm_vars=None) -> bytes:
+def compress(model, variables, wav, use_lm: bool = False, lm=None, lm_vars=None,
+             lm_device: str = "auto") -> bytes:
     fo = io.BytesIO()
-    compress_to_file(model, variables, wav, fo, use_lm=use_lm, lm=lm, lm_vars=lm_vars)
+    compress_to_file(model, variables, wav, fo, use_lm=use_lm, lm=lm, lm_vars=lm_vars,
+                     lm_device=lm_device)
     return fo.getvalue()
 
 
-def decompress(compressed: bytes, variables=None, model=None, lm=None, lm_vars=None):
+def decompress(compressed: bytes, variables=None, model=None, lm=None, lm_vars=None,
+               lm_device: str = "auto"):
     fo = io.BytesIO(compressed)
-    return decompress_from_file(fo, variables=variables, model=model, lm=lm, lm_vars=lm_vars)
+    return decompress_from_file(fo, variables=variables, model=model, lm=lm,
+                                lm_vars=lm_vars, lm_device=lm_device)

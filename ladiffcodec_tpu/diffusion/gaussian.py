@@ -135,9 +135,19 @@ def make_schedule(
     )
 
 
-def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
-    """Gather per-example schedule values and broadcast to (B, 1, ..., 1)."""
+def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int,
+             dtype: tp.Optional[jnp.dtype] = None) -> jnp.ndarray:
+    """Gather per-example schedule values and broadcast to (B, 1, ..., 1).
+
+    `dtype` casts the (tiny, per-example) coefficient so the big (B, T, C)
+    elementwise products run in the carry dtype instead of promoting the
+    whole chain to f32 — the schedule itself stays f32, only the broadcast
+    scalar is cast.  A bf16 sampler carry halves the HBM traffic of the
+    ~10 elementwise ops per denoise step (the f32 chain was the named
+    compounding factor in the batch-32 regression, BASELINE.md)."""
     out = a[t]
+    if dtype is not None:
+        out = out.astype(dtype)
     return out.reshape(out.shape + (1,) * (ndim - 1))
 
 
@@ -161,45 +171,45 @@ class GaussianDiffusion1D:
     def predict_start_from_noise(self, x_t, t, noise):
         s = self.schedule
         return (
-            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t
-            - _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim) * noise
+            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim, x_t.dtype) * x_t
+            - _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim, x_t.dtype) * noise
         )
 
     def predict_noise_from_start(self, x_t, t, x0):
         s = self.schedule
         return (
-            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim) * x_t - x0
-        ) / _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim)
+            _extract(s.sqrt_recip_alphas_cumprod, t, x_t.ndim, x_t.dtype) * x_t - x0
+        ) / _extract(s.sqrt_recipm1_alphas_cumprod, t, x_t.ndim, x_t.dtype)
 
     def predict_v(self, x_start, t, noise):
         s = self.schedule
         return (
-            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * noise
-            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * x_start
+            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim, x_start.dtype) * noise
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim, x_start.dtype) * x_start
         )
 
     def predict_start_from_v(self, x_t, t, v):
         s = self.schedule
         return (
-            _extract(s.sqrt_alphas_cumprod, t, x_t.ndim) * x_t
-            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_t.ndim) * v
+            _extract(s.sqrt_alphas_cumprod, t, x_t.ndim, x_t.dtype) * x_t
+            - _extract(s.sqrt_one_minus_alphas_cumprod, t, x_t.ndim, x_t.dtype) * v
         )
 
     def q_posterior(self, x_start, x_t, t):
         s = self.schedule
         mean = (
-            _extract(s.posterior_mean_coef1, t, x_t.ndim) * x_start
-            + _extract(s.posterior_mean_coef2, t, x_t.ndim) * x_t
+            _extract(s.posterior_mean_coef1, t, x_t.ndim, x_t.dtype) * x_start
+            + _extract(s.posterior_mean_coef2, t, x_t.ndim, x_t.dtype) * x_t
         )
-        var = _extract(s.posterior_variance, t, x_t.ndim)
-        log_var = _extract(s.posterior_log_variance_clipped, t, x_t.ndim)
+        var = _extract(s.posterior_variance, t, x_t.ndim, x_t.dtype)
+        log_var = _extract(s.posterior_log_variance_clipped, t, x_t.ndim, x_t.dtype)
         return mean, var, log_var
 
     def q_sample(self, x_start, t, noise):
         s = self.schedule
         return (
-            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim) * x_start
-            + _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim) * noise
+            _extract(s.sqrt_alphas_cumprod, t, x_start.ndim, x_start.dtype) * x_start
+            + _extract(s.sqrt_one_minus_alphas_cumprod, t, x_start.ndim, x_start.dtype) * noise
         )
 
     def model_predictions(

@@ -98,6 +98,7 @@ class DiffAudioRep(nn.Module):
     rvq_threshold_ema_dead_code: float = 2.0
     # diffusion
     fused_norm: tp.Any = False  # inference-only Pallas norm fusion in Unet1D
+    attn_layout: str = "bhtd"  # Unet1D attention layout ("bthd" = no head transposes)
     timesteps: int = 1000
     beta_schedule: str = "cosine"
     diff_objective: str = "pred_noise"
@@ -190,6 +191,7 @@ class DiffAudioRep(nn.Module):
                     random_fourier_features=self.random_fourier_features,
                     learned_sinusoidal_dim=self.learned_sinusoidal_dim,
                     fused_norm=self.fused_norm,
+                    attn_layout=self.attn_layout,
                 )
             elif self.model_type == "transformer":
                 from .transformer import TransformerDDPM

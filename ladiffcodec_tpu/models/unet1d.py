@@ -235,11 +235,19 @@ class ResnetBlock(nn.Module):
 
 
 class LinearAttention(nn.Module):
-    """Softmax-kernel linear attention (reference unet.py:194-222): O(T·D²)."""
+    """Softmax-kernel linear attention (reference unet.py:194-222): O(T·D²).
+
+    `layout="bhtd"`: classic head-major tensors (explicit transposes either
+    side of the einsums).  `layout="bthd"`: keeps (B, T, H, D) end to end —
+    the head split/merge become free reshapes of contiguous memory and the
+    contractions carry the head axis as an einsum batch dim, removing the
+    ~10%-of-step copy/transpose cost the round-2 profile attributed to
+    attention head reshapes (BASELINE.md).  Same params, same math."""
 
     dim: int
     heads: int = 4
     dim_head: int = 32
+    layout: str = "bhtd"
 
     @nn.compact
     def __call__(self, x):
@@ -248,26 +256,37 @@ class LinearAttention(nn.Module):
         qkv = PlainConv1d(hidden * 3, 1, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(u):
-            return u.reshape(B, T, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        if self.layout == "bthd":
+            split = lambda u: u.reshape(B, T, self.heads, self.dim_head)
+            q, k, v = map(split, (q, k, v))  # (B, T, H, D)
+            q = jax.nn.softmax(q, axis=-1) * (self.dim_head ** -0.5)
+            k = jax.nn.softmax(k, axis=1)  # over T
+            ctx = jnp.einsum("bthd,bthe->bhde", k, v, preferred_element_type=jnp.float32)
+            out = jnp.einsum("bhde,bthd->bthe", ctx, q,
+                             preferred_element_type=jnp.float32)
+            out = out.reshape(B, T, hidden).astype(x.dtype)
+        else:
+            def heads(u):
+                return u.reshape(B, T, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        q, k, v = map(heads, (q, k, v))  # (B, H, T, D)
-        q = jax.nn.softmax(q, axis=-1) * (self.dim_head ** -0.5)
-        k = jax.nn.softmax(k, axis=-2)
-        ctx = jnp.einsum("bhtd,bhte->bhde", k, v, preferred_element_type=jnp.float32)
-        out = jnp.einsum("bhde,bhtd->bhte", ctx, q, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, hidden).astype(x.dtype)
+            q, k, v = map(heads, (q, k, v))  # (B, H, T, D)
+            q = jax.nn.softmax(q, axis=-1) * (self.dim_head ** -0.5)
+            k = jax.nn.softmax(k, axis=-2)
+            ctx = jnp.einsum("bhtd,bhte->bhde", k, v, preferred_element_type=jnp.float32)
+            out = jnp.einsum("bhde,bhtd->bhte", ctx, q, preferred_element_type=jnp.float32)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, hidden).astype(x.dtype)
         out = PlainConv1d(self.dim, 1, name="to_out")(out)
         return ChanLayerNorm(self.dim, name="out_norm")(out)
 
 
 class Attention(nn.Module):
     """Full attention at the UNet bottleneck, T/2^(stages-1) positions
-    (reference unet.py:224-246)."""
+    (reference unet.py:224-246).  `layout` as in LinearAttention."""
 
     dim: int
     heads: int = 4
     dim_head: int = 32
+    layout: str = "bhtd"
 
     @nn.compact
     def __call__(self, x):
@@ -276,29 +295,39 @@ class Attention(nn.Module):
         qkv = PlainConv1d(hidden * 3, 1, use_bias=False, name="to_qkv")(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
-        def heads(u):
-            return u.reshape(B, T, self.heads, self.dim_head).transpose(0, 2, 1, 3)
+        if self.layout == "bthd":
+            split = lambda u: u.reshape(B, T, self.heads, self.dim_head)
+            q, k, v = map(split, (q, k, v))  # (B, T, H, D)
+            q = q * (self.dim_head ** -0.5)
+            sim = jnp.einsum("bihd,bjhd->bhij", q, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhij,bjhd->bihd", attn, v, preferred_element_type=jnp.float32)
+            out = out.reshape(B, T, hidden).astype(x.dtype)
+        else:
+            def heads(u):
+                return u.reshape(B, T, self.heads, self.dim_head).transpose(0, 2, 1, 3)
 
-        q, k, v = map(heads, (q, k, v))
-        q = q * (self.dim_head ** -0.5)
-        sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
-        attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
-        out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
-        out = out.transpose(0, 2, 1, 3).reshape(B, T, hidden).astype(x.dtype)
+            q, k, v = map(heads, (q, k, v))
+            q = q * (self.dim_head ** -0.5)
+            sim = jnp.einsum("bhid,bhjd->bhij", q, k, preferred_element_type=jnp.float32)
+            attn = jax.nn.softmax(sim, axis=-1).astype(x.dtype)
+            out = jnp.einsum("bhij,bhjd->bhid", attn, v, preferred_element_type=jnp.float32)
+            out = out.transpose(0, 2, 1, 3).reshape(B, T, hidden).astype(x.dtype)
         return PlainConv1d(self.dim, 1, name="to_out")(out)
 
 
 class PreNormResidual(nn.Module):
     dim: int
     linear: bool = True
+    attn_layout: str = "bhtd"
 
     @nn.compact
     def __call__(self, x):
         h = ChanLayerNorm(self.dim, name="norm")(x)
         if self.linear:
-            h = LinearAttention(self.dim, name="fn")(h)
+            h = LinearAttention(self.dim, layout=self.attn_layout, name="fn")(h)
         else:
-            h = Attention(self.dim, name="fn")(h)
+            h = Attention(self.dim, layout=self.attn_layout, name="fn")(h)
         return h + x
 
 
@@ -359,6 +388,7 @@ class Unet1D(nn.Module):
     random_fourier_features: bool = False
     learned_sinusoidal_dim: int = 16
     fused_norm: tp.Any = False  # inference-only Pallas norm fusion
+    attn_layout: str = "bhtd"  # "bthd" removes head-split transposes
 
     @property
     def channels(self) -> int:
@@ -430,7 +460,7 @@ class Unet1D(nn.Module):
                 fused_norm=self.fused_norm,
                 name=f"down_{ind}_block2",
             )(x, t, x_cond)
-            x = PreNormResidual(dim_in, linear=True, name=f"down_{ind}_attn")(x)
+            x = PreNormResidual(dim_in, linear=True, attn_layout=self.attn_layout, name=f"down_{ind}_attn")(x)
             h.append(x)
             if not is_last:
                 x = PlainConv1d(dim_out, 4, stride=2, padding=1, name=f"down_{ind}_downsample")(x)
@@ -439,7 +469,7 @@ class Unet1D(nn.Module):
 
         mid_dim = dims[-1]
         x = ResnetBlock(mid_dim, groups=groups, fused_norm=self.fused_norm, name="mid_block1")(x, t)
-        x = PreNormResidual(mid_dim, linear=False, name="mid_attn")(x)
+        x = PreNormResidual(mid_dim, linear=False, attn_layout=self.attn_layout, name="mid_attn")(x)
         x = ResnetBlock(mid_dim, groups=groups, fused_norm=self.fused_norm, name="mid_block2")(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
@@ -451,7 +481,7 @@ class Unet1D(nn.Module):
                 dim_out, groups=groups, use_film=self.use_film,
                 fused_norm=self.fused_norm, name=f"up_{ind}_block2"
             )(x, t, x_cond)
-            x = PreNormResidual(dim_out, linear=True, name=f"up_{ind}_attn")(x)
+            x = PreNormResidual(dim_out, linear=True, attn_layout=self.attn_layout, name=f"up_{ind}_attn")(x)
             if not is_last:
                 x = jnp.repeat(x, 2, axis=1)  # nearest-neighbor 2x upsample
             x = PlainConv1d(dim_in, 3, padding=1, name=f"up_{ind}_upsample")(x)

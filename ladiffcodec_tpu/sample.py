@@ -92,6 +92,16 @@ def get_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"],
                         help="cast model weights for decode (bfloat16 halves "
                              "weight HBM reads in the denoise scan)")
+    parser.add_argument("--attn_layout", type=str, default="bhtd",
+                        choices=["bhtd", "bthd"],
+                        help="UNet attention tensor layout: bthd keeps "
+                             "(B,T,H,D) end-to-end (no head-split transposes)")
+    parser.add_argument("--chain_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"],
+                        help="dtype of the denoise-scan carry and its "
+                             "elementwise posterior math (bfloat16 halves the "
+                             "HBM traffic of the ~10 per-step elementwise ops; "
+                             "schedule tables stay f32 either way)")
     parser.add_argument("--no_descale_latent", dest="descale_latent",
                         action="store_false", default=True,
                         help="reproduce the reference sampler's raw decode of "
@@ -120,6 +130,50 @@ def get_parser() -> argparse.ArgumentParser:
     return parser
 
 
+# model-construction flags that the trainer persists in config.json and the
+# sampler can safely inherit (anything NOT passed explicitly on this CLI)
+_CONFIG_KEYS = (
+    "rep_dims", "emb_dims", "diff_dims", "n_filters", "lstm",
+    "n_residual_layers", "enc_ratios", "quantization", "bandwidth",
+    "run_diff", "run_vae", "model_type", "scaling_frame", "scaling_feature",
+    "scaling_global", "scaling_dim", "global_scale", "use_film",
+    "cond_global", "upsampling_ratios", "cond_enc_ratios", "cond_bandwidth",
+    "unet_scale_cond", "unet_scale_x", "qtz_condition", "self_condition",
+    "final_activation", "train_time_diff", "sample_rate",
+)
+
+
+def apply_run_config(inp_args, parser, argv=None) -> None:
+    """Inherit model-construction flags from the checkpoint's persisted
+    `config.json` (written by the trainer) for every flag the user did not
+    set explicitly on this command line.  Closes the ADVICE-r2 footgun where
+    a model trained with a non-default `--global_scale` silently decodes
+    off-distribution unless the flag is repeated everywhere."""
+    if not inp_args.model_path:
+        return
+    from .utils.checkpoint import load_run_config
+
+    cfg = load_run_config(inp_args.model_path)
+    if not cfg:
+        return
+    import sys
+
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    explicit = {a.split("=")[0].lstrip("-").replace("-", "_")
+                for a in argv if a.startswith("--")}
+    inherited = []
+    for key in _CONFIG_KEYS:
+        if key in cfg and key not in explicit and hasattr(inp_args, key):
+            val = cfg[key]
+            if val is None:
+                continue  # trainer left it unset; keep this CLI's default
+            if getattr(inp_args, key) != val:
+                setattr(inp_args, key, val)
+                inherited.append(f"{key}={val}")
+    if inherited:
+        print(f"[config.json] inherited: {', '.join(inherited)}")
+
+
 def build_main_model(inp_args) -> DiffAudioRep:
     other_cond = bool(inp_args.model_for_cond)
     cls = DiffAudioTime if inp_args.train_time_diff else DiffAudioRep
@@ -144,6 +198,7 @@ def build_main_model(inp_args) -> DiffAudioRep:
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
         sampling_timesteps=inp_args.sampling_timesteps,
+        attn_layout=getattr(inp_args, "attn_layout", "bhtd"),
     )
     if inp_args.train_time_diff:
         return DiffAudioTime(**{k: v for k, v in kwargs.items() if k in DiffAudioTime.__dataclass_fields__})
@@ -186,15 +241,19 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=
         cond_p = img if inp_args.unet_scale_cond else raw
         diffusion = model.diffusion
         cdtype = jnp.bfloat16 if inp_args.compute_dtype == "bfloat16" else jnp.float32
+        chdtype = (jnp.bfloat16
+                   if getattr(inp_args, "chain_dtype", "float32") == "bfloat16"
+                   else jnp.float32)
 
         def model_fn(x, t, c):
             out = model.apply(
                 variables, x.astype(cdtype), t, c.astype(cdtype), True,
                 method="diff_model_fn",
             )
-            return out.astype(jnp.float32)
+            return out.astype(chdtype)
 
-        chain_img = img * inp_args.img_scale
+        chain_img = (img * inp_args.img_scale).astype(chdtype)
+        cond_p = cond_p.astype(chdtype)
         if inp_args.sampler == "ddim":
             sample = diffusion.ddim_from(
                 model_fn, chain_img, midway_t, inp_args.sampling_timesteps, key, cond_p
@@ -207,6 +266,7 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=
             )
         else:
             sample = diffusion.halfway_sampling(model_fn, chain_img, midway_t, key, cond_p)
+        sample = sample.astype(jnp.float32)
         if inp_args.descale_latent and inp_args.scaling_global:
             # decode with the training contract x_hat = decoder(sample * 18)
             # (model.py); the reference's shipped sampler feeds the /18-space
@@ -319,7 +379,10 @@ def synthesis(inp_args) -> None:
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
-    synthesis(get_parser().parse_args(argv))
+    parser = get_parser()
+    inp_args = parser.parse_args(argv)
+    apply_run_config(inp_args, parser, argv)
+    synthesis(inp_args)
 
 
 if __name__ == "__main__":

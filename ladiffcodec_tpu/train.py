@@ -109,9 +109,9 @@ def get_parser() -> argparse.ArgumentParser:
                         help="fuse N optimizer steps into one jitted lax.scan "
                              "dispatch (amortizes host->device dispatch of the "
                              "TrainState, which dominates wall time on "
-                             "remote-tunnel runtimes); single-device non-GAN "
-                             "path only; per-epoch remainder batches are "
-                             "dropped")
+                             "remote-tunnel runtimes); single-device path "
+                             "(GAN included); epoch-end remainder batches "
+                             "flush through the unscanned step")
     parser.add_argument("--dp_devices", type=int, default=0, help="0 = all visible")
     parser.add_argument("--ema_decay", type=float, default=0.0,
                         help="EMA shadow of params (0 = off; reference builds "
@@ -119,6 +119,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--profile_dir", type=str, default="",
                         help="write a jax.profiler trace of training steps "
                              "2-6 of the first epoch to this directory")
+    parser.add_argument("--grad_clip", type=float, default=0.0,
+                        help="clip gradients to this global norm before Adam "
+                             "(0 = off, the reference behavior)")
     parser.add_argument("--mel_weight", type=float, default=0.0,
                         help="add w * multi-scale log-mel loss to the codec/AE "
                              "objective (0 = reference-faithful neg-SDR only)")
@@ -144,6 +147,8 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         scaling_dim=inp_args.scaling_dim,
         use_film=inp_args.use_film,
         cond_global=inp_args.cond_global,
+        cond_channels=inp_args.rep_dims,  # match sample.py; the cond latent
+        # has rep_dims channels (reference hardcodes both at 128)
         upsampling_ratios=tuple(inp_args.upsampling_ratios) if inp_args.upsampling_ratios else None,
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
@@ -205,6 +210,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
 
     if not inp_args.debug and inp_args.exp_name:
         log_params(vars(inp_args), inp_args.exp_name)
+        from .utils.checkpoint import save_run_config
+
+        save_run_config(vars(inp_args), inp_args.output_dir, inp_args.exp_name)
 
     if inp_args.dp_devices:
         n_dev = inp_args.dp_devices
@@ -242,7 +250,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     params = variables["params"]
     quantizer = variables.get("quantizer", {})
 
-    optimizer = make_optimizer(inp_args.lr, freeze_ed=inp_args.run_diff and inp_args.freeze_ed)
+    optimizer = make_optimizer(inp_args.lr,
+                               freeze_ed=inp_args.run_diff and inp_args.freeze_ed,
+                               grad_clip=inp_args.grad_clip)
     state = TrainState(
         step=jnp.asarray(0), params=params, quantizer=quantizer,
         opt_state=optimizer.init(params),
@@ -261,22 +271,37 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         )
 
     if inp_args.finetune_model:
+        import os
+
+        if not os.path.isdir(inp_args.finetune_model):
+            raise FileNotFoundError(
+                f"--finetune_model {inp_args.finetune_model!r} is not a "
+                f"checkpoint directory")
         try:
             state = load_checkpoint_path(state, inp_args.finetune_model)
-        except Exception:
+        except (ValueError, KeyError, TypeError):
+            # strict restore rejects a different TrainState structure ->
             # cross-stage restore (reference README.md:41-63: stage-3 loads
             # the stage-2 continuous AE): merge matching param subtrees, keep
-            # fresh opt state (freeze_ed masks the loaded weights anyway)
+            # fresh opt state (freeze_ed masks the loaded weights anyway).
+            # Other errors (corrupt checkpoint, wrong path type) propagate.
             from .utils.checkpoint import merge_matching, _rebuild_quantizer
 
             raw = load_checkpoint_path(None, inp_args.finetune_model)
             merged, n = merge_matching(state.params, raw.get("params", {}))
-            assert n > 0, f"no overlapping params in {inp_args.finetune_model}"
+            n_total = len(jax.tree_util.tree_leaves(state.params))
+            if n == 0:
+                raise ValueError(
+                    f"no overlapping params in {inp_args.finetune_model}")
+            if n < n_total // 4:
+                print(f"WARNING: partial restore matched only {n}/{n_total} "
+                      f"arrays — check that {inp_args.finetune_model} is the "
+                      f"intended stage checkpoint")
             state = state.replace(params=merged)
             if raw.get("quantizer") and state.quantizer:
                 state = state.replace(
                     quantizer=_rebuild_quantizer(raw["quantizer"]))
-            print(f"partial finetune restore: {n} matching arrays loaded")
+            print(f"partial finetune restore: {n}/{n_total} matching arrays loaded")
 
     # k-means codebook init on the first batch (reference: lazy init inside
     # the first forward, core_vq.py:139-150)
@@ -289,22 +314,29 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         state = state.replace(quantizer=upd["quantizer"])
 
     # ---- build jitted steps ----
+    scan_step = None  # N-steps-per-dispatch program (GAN or single-loss)
     if inp_args.use_disc:
-        gen_step, disc_step = make_gan_train_step(
+        gen_step_fn, disc_step_fn = make_gan_train_step(
             model, disc, optimizer, disc_optimizer, axis_name=axis_name,
             melspec_compat=inp_args.melspec_compat,
         )
         if mesh:
             from jax.sharding import PartitionSpec as P
             gen_step = jax.jit(jax.shard_map(
-                gen_step, mesh=mesh, in_specs=(P(), P(DP_AXIS), P()),
+                gen_step_fn, mesh=mesh, in_specs=(P(), P(DP_AXIS), P()),
                 out_specs=(P(), P(), P(DP_AXIS)), check_vma=False))
             disc_step = jax.jit(jax.shard_map(
-                disc_step, mesh=mesh, in_specs=(P(), P(DP_AXIS), P(DP_AXIS)),
+                disc_step_fn, mesh=mesh, in_specs=(P(), P(DP_AXIS), P(DP_AXIS)),
                 out_specs=(P(), P()), check_vma=False))
         else:
-            gen_step = jax.jit(gen_step)
-            disc_step = jax.jit(disc_step)
+            gen_step = jax.jit(gen_step_fn)
+            disc_step = jax.jit(disc_step_fn)
+            if inp_args.steps_per_dispatch > 1:
+                from .training import make_scanned_gan_step
+
+                scan_step = jax.jit(make_scanned_gan_step(
+                    gen_step_fn, disc_step_fn, inp_args.steps_per_dispatch,
+                    inp_args.disc_freq))
     else:
         step_fn = make_train_step(
             model, optimizer, cond_model, cond_vars, axis_name=axis_name,
@@ -318,7 +350,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         if inp_args.steps_per_dispatch > 1 and not mesh:
             from .training import make_scanned_step
 
-            train_step = jax.jit(
+            scan_step = jax.jit(
                 make_scanned_step(step_fn, inp_args.steps_per_dispatch))
 
     def eval_losses(state, batch, key):
@@ -379,7 +411,17 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         tot: tp.Dict[str, float] = {}
         n = 0
         tracing = False
-        spd = inp_args.steps_per_dispatch if (not inp_args.use_disc and not mesh) else 1
+        spd = inp_args.steps_per_dispatch if not mesh else 1
+
+        def one_step(state, batch, sub, n):
+            if inp_args.use_disc:
+                state, metrics, x_hat = gen_step(state, batch, sub)
+                if n % inp_args.disc_freq == 0:
+                    state, l_d = disc_step(state, batch, x_hat)
+                    metrics = dict(metrics, l_d=l_d)
+                return state, metrics
+            return train_step(state, batch, sub)
+
         acc: tp.List[jnp.ndarray] = []
         for batch in train_loader:
             if inp_args.profile_dir and step_i == 0 and n == 1 and not tracing:
@@ -390,24 +432,28 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                 tracing = False
             rng, sub = jax.random.split(rng)
             batch = jnp.asarray(batch)
-            if inp_args.use_disc:
-                state, metrics, x_hat = gen_step(state, batch, sub)
-                if n % inp_args.disc_freq == 0:
-                    state, l_d = disc_step(state, batch, x_hat)
-                    metrics = dict(metrics, l_d=l_d)
-            elif spd > 1:
+            if spd > 1:
                 acc.append(batch)
                 if len(acc) < spd:
                     continue
-                state, metrics = train_step(state, jnp.stack(acc), sub)
+                state, metrics = scan_step(state, jnp.stack(acc), sub)
                 acc = []
             else:
-                state, metrics = train_step(state, batch, sub)
+                state, metrics = one_step(state, batch, sub, n)
             for k, v in metrics.items():
                 tot[k] = tot.get(k, 0.0) + float(v)
             n += 1
             if inp_args.debug:
                 break
+        # flush the epoch-end remainder through the unscanned step so no
+        # batch is silently dropped (and an epoch shorter than
+        # steps_per_dispatch still trains)
+        for batch in acc:
+            rng, sub = jax.random.split(rng)
+            state, metrics = one_step(state, batch, sub, n)
+            for k, v in metrics.items():
+                tot[k] = tot.get(k, 0.0) + float(v)
+            n += 1
         if tracing:
             jax.profiler.stop_trace()
         tr_losses = {k: v / max(n, 1) for k, v in tot.items()}

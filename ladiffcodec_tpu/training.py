@@ -36,10 +36,16 @@ class TrainState:
     ema_params: tp.Any = None
 
 
-def make_optimizer(lr: float, freeze_ed: bool = False) -> optax.GradientTransformation:
+def make_optimizer(lr: float, freeze_ed: bool = False,
+                   grad_clip: float = 0.0) -> optax.GradientTransformation:
     """Adam(lr); with freeze_ed only diffusion-model params update
-    (reference train.py:363-372 optimizes model.diffusion only)."""
+    (reference train.py:363-372 optimizes model.diffusion only).
+    `grad_clip > 0` prepends global-norm clipping — the stabilizer the
+    reference lacks; an early lr spike can collapse the ε-predictor into
+    the degenerate zero output (loss pinned at E|ε| = √(2/π))."""
     tx = optax.adam(lr)
+    if grad_clip and grad_clip > 0:
+        tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if freeze_ed:
         def mask(params):
             return jax.tree_util.tree_map_with_path(
@@ -143,6 +149,45 @@ def make_scanned_step(step_fn, n: int):
             batch, k = xs
             new_state, metrics = step_fn(carry, batch, k)
             return new_state, metrics
+
+        state, metrics = jax.lax.scan(body, state, (batches, keys))
+        return state, jax.tree_util.tree_map(jnp.mean, metrics)
+
+    return scanned
+
+
+def make_scanned_gan_step(gen_step, disc_step, n: int, disc_freq: int = 1):
+    """Fuse `n` GAN iterations (generator step + discriminator step every
+    `disc_freq` iterations, reference train.py:144-149) into ONE `lax.scan`
+    dispatch.
+
+    The round-2 profile (BASELINE.md) showed the GAN step is 2.7 ms gen +
+    2.7 ms disc on device but ~200 ms wall through a remote-tunnel runtime —
+    ~97% host dispatch of the 4-collection TrainState.  Scanning n iterations
+    per dispatch amortizes that host cost exactly like the non-GAN
+    `make_scanned_step`.  The discriminator cadence keys on the global
+    `state.step` counter (incremented by gen_step), which reproduces the
+    reference's every-`disc_freq`-batches schedule for epochs whose length is
+    a multiple of `disc_freq`.
+    """
+
+    def scanned(state: TrainState, batches, key):
+        keys = jax.random.split(key, batches.shape[0])
+
+        def body(carry, xs):
+            batch, k = xs
+            carry, metrics, x_hat = gen_step(carry, batch, k)
+            if disc_freq == 1:
+                carry, l_d = disc_step(carry, batch, x_hat)
+            else:
+                carry, l_d = jax.lax.cond(
+                    (carry.step - 1) % disc_freq == 0,
+                    lambda s: disc_step(s, batch, x_hat),
+                    lambda s: (s, jnp.asarray(0.0, jnp.float32)),
+                    carry,
+                )
+            metrics = dict(metrics, l_d=l_d)
+            return carry, metrics
 
         state, metrics = jax.lax.scan(body, state, (batches, keys))
         return state, jax.tree_util.tree_map(jnp.mean, metrics)

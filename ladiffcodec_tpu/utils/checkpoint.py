@@ -21,6 +21,34 @@ def _ckpt_dir(output_dir: str, exp_name: str, note: str) -> Path:
     return Path(output_dir).resolve() / exp_name / f"model_{note}"
 
 
+def save_run_config(args_dict: dict, output_dir: str, exp_name: str) -> str:
+    """Persist the run's flags next to its checkpoints (`config.json` in the
+    experiment dir).  Load-bearing model hyperparameters — `global_scale`
+    above all — otherwise live only in the command line, and decoding a model
+    trained with a non-default value silently produces off-distribution
+    latents unless every downstream CLI repeats the flag (ADVICE r2)."""
+    import json
+
+    path = Path(output_dir).resolve() / exp_name / "config.json"
+    path.parent.mkdir(parents=True, exist_ok=True)
+    path.write_text(json.dumps(args_dict, indent=2, default=str))
+    return str(path)
+
+
+def load_run_config(ckpt_path: tp.Union[str, Path]) -> dict:
+    """Find the `config.json` for a checkpoint: look in the checkpoint dir
+    itself, then in its experiment dir (parent).  Returns {} when absent
+    (e.g. converted reference checkpoints)."""
+    import json
+
+    p = Path(ckpt_path).resolve()
+    for cand in (p, p.parent):
+        f = cand / "config.json"
+        if f.is_file():
+            return json.loads(f.read_text())
+    return {}
+
+
 def save_checkpoint(state, output_dir: str, exp_name: str, note: str = "best") -> str:
     path = _ckpt_dir(output_dir, exp_name, note)
     path.parent.mkdir(parents=True, exist_ok=True)

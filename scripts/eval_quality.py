@@ -176,10 +176,21 @@ def main():
     ap.add_argument("--n_files", type=int, default=32)
     ap.add_argument("--midway_t", type=int, default=100)
     ap.add_argument("--cond_bandwidth", type=float, default=1.5)
-    ap.add_argument("--global_scale", type=float, default=18.0)
+    ap.add_argument("--global_scale", type=float, default=None,
+                    help="default: the value persisted in the diff "
+                         "checkpoint's config.json, else 18.0")
     ap.add_argument("--ae_ratios", nargs="+", type=int, default=[8, 4])
     ap.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 2])
     args = ap.parse_args()
+
+    if args.global_scale is None:
+        from ladiffcodec_tpu.utils.checkpoint import load_run_config
+
+        cfg = load_run_config(args.diff) if args.diff else {}
+        args.global_scale = float(cfg.get("global_scale", 18.0))
+        if args.diff:
+            print(f"global_scale = {args.global_scale} "
+                  f"({'config.json' if cfg else 'reference default'})")
 
     rows = []
     vars_codec = None

@@ -118,3 +118,52 @@ def test_scanned_step_matches_sequential():
                                                 rtol=5e-2, atol=1e-3),
         seq.params, fused.params)
     assert np.isfinite(float(metrics["neg_sdr"]))
+
+
+@pytest.mark.parametrize("disc_freq", [1, 2])
+def test_scanned_gan_step_matches_sequential(disc_freq):
+    """make_scanned_gan_step(n): one dispatch == n (gen + cadenced disc)
+    iterations (the fusion that makes real stage-1 GAN training affordable
+    on a dispatch-bound host, VERDICT r2 item 2)."""
+    from ladiffcodec_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+    from ladiffcodec_tpu.training import make_gan_train_step, make_scanned_gan_step
+
+    m = DiffAudioRep(enc_ratios=(8, 5, 4, 2), rep_dims=8, n_filters=4, lstm=0,
+                     quantization=True, bandwidth=1.5,
+                     rvq_threshold_ema_dead_code=0.0,
+                     rvq_kmeans_init=False)
+    disc = MultiScaleSTFTDiscriminator(filters=2)
+    batches = jax.random.normal(jax.random.PRNGKey(0), (4, 2, 3200, 1)) * 0.1
+    v = m.init(jax.random.PRNGKey(1), batches[0])
+    dv = disc.init(jax.random.PRNGKey(2), batches[0])
+    opt = optax.adam(1e-3)
+    dopt = optax.adam(1e-3)
+    s0 = TrainState(step=jnp.asarray(0), params=v["params"],
+                    quantizer=v.get("quantizer", {}),
+                    opt_state=opt.init(v["params"]),
+                    disc_params=dv["params"],
+                    disc_opt_state=dopt.init(dv["params"]))
+    gen_step, disc_step = make_gan_train_step(m, disc, opt, dopt)
+
+    key = jax.random.PRNGKey(42)
+    keys = jax.random.split(key, 4)
+    seq = s0
+    jgen, jdisc = jax.jit(gen_step), jax.jit(disc_step)
+    for i in range(4):
+        step_before = int(seq.step)
+        seq, metrics, x_hat = jgen(seq, batches[i], keys[i])
+        if step_before % disc_freq == 0:  # cadence keys on the global step
+            seq, _ = jdisc(seq, batches[i], x_hat)
+
+    scanned = jax.jit(make_scanned_gan_step(gen_step, disc_step, 4, disc_freq))
+    fused, metrics = scanned(s0, batches, key)
+
+    assert int(fused.step) == 4
+    for tree_a, tree_b in ((seq.params, fused.params),
+                           (seq.disc_params, fused.disc_params)):
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=5e-2, atol=1e-3),
+            tree_a, tree_b)
+    assert np.isfinite(float(metrics["l_d"]))
+    assert np.isfinite(float(metrics["g_loss"]))

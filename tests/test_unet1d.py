@@ -79,3 +79,54 @@ def test_unet_film_params_exist():
     flat = jax.tree_util.tree_flatten_with_path(params)[0]
     names = {"/".join(str(k.key) for k in path) for path, _ in flat}
     assert any("scale_layer" in n for n in names), sorted(names)[:10]
+
+
+def test_attn_layout_bthd_matches_bhtd():
+    """The transpose-free (B,T,H,D) attention layout is numerically the same
+    program as the head-major one (same params, same contractions — only the
+    memory movement differs)."""
+    kwargs = dict(dim=16, dim_mults=(1, 2), inp_channels=4, other_cond=True,
+                  cond_channels=4, upsampling_ratios=(2,))
+    a = Unet1D(**kwargs, attn_layout="bhtd")
+    b = Unet1D(**kwargs, attn_layout="bthd")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 4))
+    t = jnp.array([5, 9])
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 4))
+    params = a.init(jax.random.PRNGKey(2), x, t, cond)
+    ya = a.apply(params, x, t, cond)
+    yb = b.apply(params, x, t, cond)
+    np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), rtol=1e-5, atol=1e-5)
+
+
+def test_sampler_bf16_chain_close_to_f32():
+    """halfway_sampling with a bf16 carry tracks the f32 chain (the
+    schedule coefficients follow the carry dtype; quality-bearing decode is
+    re-verified on device in BASELINE.md)."""
+    from ladiffcodec_tpu.diffusion.gaussian import GaussianDiffusion1D, make_schedule
+
+    diff = GaussianDiffusion1D(schedule=make_schedule(100))
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 8)) * 0.1
+
+    def model_fn(x, t, c):
+        return jnp.tanh(x @ w.astype(x.dtype))
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8)) * 0.5
+    key = jax.random.PRNGKey(2)
+    out32 = diff.halfway_sampling(model_fn, img, 10, key)
+    out16 = diff.halfway_sampling(model_fn, img.astype(jnp.bfloat16), 10, key)
+    assert out16.dtype == jnp.bfloat16
+    # per-step rounding perturbs the injected-noise trajectory, so pointwise
+    # agreement decays chaotically; the chains must stay distributionally
+    # identical (same operator, same schedule).  End-quality is gated on
+    # device (BASELINE.md chain_dtype rows).
+    o16 = out16.astype(jnp.float32)
+    assert bool(jnp.isfinite(o16).all())
+    s32, s16 = float(out32.std()), float(o16.std())
+    m32, m16 = float(out32.mean()), float(o16.mean())
+    assert abs(s16 - s32) < 0.2 * s32, (s16, s32)
+    assert abs(m16 - m32) < 0.2 * s32, (m16, m32)
+    # single-step (t=1, no noise draw at t=0) must agree tightly
+    one32 = diff.halfway_sampling(model_fn, img, 1, key)
+    one16 = diff.halfway_sampling(model_fn, img.astype(jnp.bfloat16), 1, key)
+    err = float(jnp.max(jnp.abs(one32 - one16.astype(jnp.float32))))
+    assert err < 0.05, err
