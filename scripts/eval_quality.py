@@ -121,6 +121,8 @@ def eval_diffusion(args, rows, vars_codec):
         )
         x = dev_batch(args.data, args.seconds, args.n_files)
 
+        chdtype = jnp.bfloat16 if args.chain_dtype == "bfloat16" else jnp.float32
+
         @jax.jit
         def decode(vd, vc, xx, key):
             cond = cond_model.apply(vc, xx, method="get_cond")
@@ -141,9 +143,13 @@ def eval_diffusion(args, rows, vars_codec):
             chain_img = img * lat_scale
 
             def model_fn(z, t, c):
-                return model.apply(vd, z, t, c, True, method="diff_model_fn")
+                out = model.apply(vd, z.astype(chdtype), t, c.astype(chdtype),
+                                  True, method="diff_model_fn")
+                return out.astype(chdtype)
 
-            sample = diffusion.halfway_sampling(model_fn, chain_img, args.midway_t, key, img)
+            sample = diffusion.halfway_sampling(
+                model_fn, chain_img.astype(chdtype), args.midway_t, key,
+                img.astype(chdtype)).astype(jnp.float32)
             # decode with the TRAINING contract in_dec = pred_x_start * 18
             # (model.py x_hat path).  The reference's shipped sampler decodes
             # the /18-space sample raw (srcs/sample.py:131; its intended
@@ -179,6 +185,8 @@ def main():
     ap.add_argument("--global_scale", type=float, default=None,
                     help="default: the value persisted in the diff "
                          "checkpoint's config.json, else 18.0")
+    ap.add_argument("--chain_dtype", choices=["float32", "bfloat16"],
+                    default="float32", help="denoise-chain carry dtype")
     ap.add_argument("--ae_ratios", nargs="+", type=int, default=[8, 4])
     ap.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 2])
     args = ap.parse_args()

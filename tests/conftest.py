@@ -20,3 +20,9 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", False)
+
+# Persistent compile cache: the fast loop is compile-bound on this 1-core
+# box, and CPU-side XLA compiles DO hit this cache (unlike tunnel-side TPU
+# compiles).  Repeat suite runs skip every previously-seen jit shape.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ldc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
