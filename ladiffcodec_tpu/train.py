@@ -375,9 +375,10 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     if inp_args.finetune_model and not inp_args.debug:
         # resuming: seed best_loss from the restored weights so the first
         # (typically worse) eval does not overwrite the previous model_best
-        rng, sub = jax.random.split(rng)
+        # (same FIXED key as the in-loop evals -> paired comparison)
         init_val = run_eval_epoch(
-            lambda s, b, k: eval_step(s, b, k), state, valid_loader, cond_vars, sub
+            lambda s, b, k: eval_step(s, b, k), state, valid_loader,
+            cond_vars, jax.random.PRNGKey(1234)
         )
         best_loss = list(init_val.values())[-1]
         print(f"finetune baseline val (selection metric): {best_loss:.4f}")
@@ -459,9 +460,13 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         tr_losses = {k: v / max(n, 1) for k, v in tot.items()}
 
         if step_i % write_on_every == 0:
-            rng, sub = jax.random.split(rng)
+            # FIXED eval key: the diffusion val losses draw random timesteps,
+            # so a per-epoch rng makes the selection metric fluctuate by
+            # several dB and model_best a lottery; a constant key turns it
+            # into a paired comparison across epochs.
             val_losses = run_eval_epoch(
-                lambda s, b, k: eval_step(s, b, k), state, valid_loader, cond_vars, sub
+                lambda s, b, k: eval_step(s, b, k), state, valid_loader,
+                cond_vars, jax.random.PRNGKey(1234)
             )
             duration = time.time() - t0
             vall = list(val_losses.values())[-1]

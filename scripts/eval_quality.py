@@ -158,12 +158,18 @@ def eval_diffusion(args, rows, vars_codec):
             return model.apply(vd, sample * args.global_scale, method="decode")
 
         x_hat = np.asarray(decode(vars_diff, vars_codec, x, jax.random.PRNGKey(0)))
-        # per-example scale alignment like the reference sampler output
+        # per-example ENERGY (RMS) alignment like the reference sampler output
         # normalization (srcs/sample.py:131-134); SI-SNR is scale-invariant,
-        # mel distance is not, so align first
+        # mel distance is not, so align first.  NOTE: round-2 used the
+        # projection gain <ref,est>/<est,est> here, which goes to ~0 when the
+        # output is phase-decorrelated from the reference (generative decodes
+        # are) and zeroed the signal -> mel vs silence.  RMS alignment only
+        # equalizes energy and cannot cancel the signal.
         ref = np.asarray(x)[..., 0]
         est = x_hat[..., 0]
-        gain = (ref * est).sum(-1, keepdims=True) / ((est * est).sum(-1, keepdims=True) + 1e-8)
+        gain = np.sqrt(
+            (ref * ref).sum(-1, keepdims=True)
+            / ((est * est).sum(-1, keepdims=True) + 1e-8))
         est_aligned = est * gain
         rows.append((
             f"diffusion de-qtz @{bw} kbps ({args.midway_t}-step halfway)",
