@@ -14,7 +14,11 @@ echo "== halfway100 + bf16 chain =="
 timeout 3600 python bench.py --mode halfway100 --chain_dtype bfloat16
 echo "== halfway100 + bthd + bf16 chain =="
 timeout 3600 python bench.py --mode halfway100 --attn_layout bthd --chain_dtype bfloat16
+echo "== halfway100 + bthd + bf16 chain + bf16 params =="
+timeout 3600 python bench.py --mode halfway100 --attn_layout bthd --chain_dtype bfloat16 --param_dtype bfloat16
 echo "== halfway100 + bthd + bf16 chain, batch 32 =="
 timeout 3600 python bench.py --mode halfway100 --attn_layout bthd --chain_dtype bfloat16 --batch 32
 echo "== ddim50 headline + bthd + bf16 chain =="
 timeout 3600 python bench.py --attn_layout bthd --chain_dtype bfloat16
+echo "== ddim50 headline + bthd + bf16 chain + bf16 params =="
+timeout 3600 python bench.py --attn_layout bthd --chain_dtype bfloat16 --param_dtype bfloat16

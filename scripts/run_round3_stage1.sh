@@ -27,18 +27,20 @@ timeout 7200 python -m ladiffcodec_tpu.train \
   --exp_name stage1_codec_gan --steps "$EPOCHS_GAN"
 
 echo "=== B. stage 1 nodisc continuation (same start, same steps) ==="
+# NOTE: writes to a NEW exp dir — stage1_codec_nodisc/model_best is the
+# frozen conditioning codec of the round-3 stage-3 run and must stay fixed
 timeout 7200 python -m ladiffcodec_tpu.train \
   --data_folder_path data_synth --seq_len_p_sec 1.0 \
   --enc_ratios 8 5 4 2 --quantization --bandwidth 3.0 --rvq_expire_threshold 0 \
   --model_type unet \
   --finetune_model "$START" \
   --batch_size 64 --lr 6e-4 --mel_weight 3.0 --steps_per_dispatch 5 \
-  --exp_name stage1_codec_nodisc --steps "$EPOCHS_NODISC"
+  --exp_name stage1_codec_nodisc_r3 --steps "$EPOCHS_NODISC"
 
 echo "=== eval: GAN vs nodisc codec at equal total steps ==="
 timeout 3600 python scripts/eval_quality.py \
   --codec saved_models/stage1_codec_gan/model_best \
-  --data data_synth --n_files 32
+  --data data_synth --n_files 32 --seconds 1.2
 timeout 3600 python scripts/eval_quality.py \
-  --codec saved_models/stage1_codec_nodisc/model_best \
-  --data data_synth --n_files 32
+  --codec saved_models/stage1_codec_nodisc_r3/model_best \
+  --data data_synth --n_files 32 --seconds 1.2
