@@ -52,6 +52,7 @@ class DatasetLibri:
         self.files = sorted(glob.glob(pattern))[:max_files]
         if not self.files:
             raise FileNotFoundError(f"no wav files under {pattern}")
+        self._cache: tp.Dict[int, np.ndarray] = {}
 
     def __len__(self) -> int:
         return len(self.files)
@@ -60,19 +61,33 @@ class DatasetLibri:
     def _normalize(x: np.ndarray) -> np.ndarray:
         return x / (np.max(np.abs(x)) + 1e-20)
 
+    def _load(self, idx: int) -> np.ndarray:
+        """Decoded+normalized mono audio for file `idx`, RAM-cached.
+
+        On this 1-core host the 960-file corpus costs ~2-4 s of wav decode
+        per epoch — enough to starve the TPU dispatch loop.  The decoded
+        corpus is ~250 MB; cache it (reference Dataset_Libri re-reads every
+        item, dataset_libri.py:66-74).
+        """
+        idx = idx % len(self)
+        hit = self._cache.get(idx)
+        if hit is None:
+            audio, _sr = read_wav(self.files[idx])
+            hit = self._normalize(audio[0]).astype(np.float32)
+            self._cache[idx] = hit
+        return hit
+
     def __getitem__(self, idx: int, rng: tp.Optional[np.random.Generator] = None) -> np.ndarray:
         rng = rng or np.random.default_rng(idx)
         seq_length = int(self.seq_len_p_sec * self.sample_rate)
-        audio, sr = read_wav(self.files[idx % len(self)])
-        x = self._normalize(audio[0])
+        x = self._load(idx)
         if self.task == "eval":
             return x[:seq_length].astype(np.float32)
         # skip-ahead on short/silent files (reference dataset_libri.py:76-80)
         tries = 0
         while len(x) < seq_length or np.isclose(np.std(x), 0):
             idx = (idx + 1) % len(self)
-            audio, sr = read_wav(self.files[idx])
-            x = self._normalize(audio[0])
+            x = self._load(idx)
             tries += 1
             if tries > len(self):
                 raise RuntimeError("no usable file found")

@@ -384,12 +384,7 @@ class DiffAudioRep(nn.Module):
                 diff_loss, pred_x_start, x_t, t_out = diffusion(
                     model_fn, jax.lax.stop_gradient(x_rep_s), key_d, cond=None, t=t
                 )
-            in_dec = pred_x_start * scale if scale is not None else pred_x_start
-            x_hat = self.decoder(in_dec)
-            neg_loss = jnp.mean(sdr_loss(x, x_hat))
-            losses = {"diff_loss": diff_loss, "neg_loss": neg_loss}
             aux = dict(
-                x_hat=x_hat,
                 x_rep=x_rep_s,
                 predicted_x_start=pred_x_start,
                 x_t=x_t,
@@ -397,6 +392,20 @@ class DiffAudioRep(nn.Module):
                 x_rep_qtz=x_rep_qtz,
                 scale=scale,
             )
+            if training:
+                # skip the decoder readout inside the optimizer step: the
+                # hop-8 decoder's 2-layer LSTM scans T_latent recurrent steps
+                # PER TRAIN STEP for a metric that carries no gradient
+                # (pred_x_start is stop-gradient; diff_loss is the target) —
+                # measured ~3x of the whole stage-3 step cost on the v5e.
+                # neg_loss stays in the (training=False) eval pass, which is
+                # where the selection metric is read.
+                return {"diff_loss": diff_loss}, aux
+            in_dec = pred_x_start * scale if scale is not None else pred_x_start
+            x_hat = self.decoder(in_dec)
+            neg_loss = jnp.mean(sdr_loss(x, x_hat))
+            losses = {"diff_loss": diff_loss, "neg_loss": neg_loss}
+            aux["x_hat"] = x_hat
             return losses, aux
 
         in_dec = x_rep_qtz if self.quantization else x_rep

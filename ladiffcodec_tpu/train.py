@@ -205,6 +205,10 @@ def run_eval_epoch(eval_step, state, loader, cond_vars, key):
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    # persistent compile cache: restarted/chained runs skip the multi-minute
+    # tunnel compile of the scanned train step (same cache as bench.py)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/ldc_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     inp_args = get_parser().parse_args(argv)
     assert not (inp_args.self_condition and inp_args.qtz_condition)
 
@@ -369,7 +373,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     eval_step = jax.jit(eval_losses)
 
     best_loss = float("inf")
-    write_on_every = 5 if not inp_args.debug else 1
+    # honor the flag (round-2 hardcoded 5: the every-5-epoch val pass is
+    # itself ~an epoch of compute on this box, a 20% tax at the default)
+    write_on_every = 1 if inp_args.debug else max(1, inp_args.write_on_every)
     rng = jax.random.PRNGKey(42)
 
     if inp_args.finetune_model and not inp_args.debug:

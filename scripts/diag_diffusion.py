@@ -24,6 +24,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ldc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from ladiffcodec_tpu.models.diff_rep import DiffAudioRep

@@ -19,6 +19,10 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/ldc_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 
 from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
@@ -147,9 +151,21 @@ def eval_diffusion(args, rows, vars_codec):
                                   True, method="diff_model_fn")
                 return out.astype(chdtype)
 
-            sample = diffusion.halfway_sampling(
-                model_fn, chain_img.astype(chdtype), args.midway_t, key,
-                img.astype(chdtype)).astype(jnp.float32)
+            if args.sampler == "halfway":
+                # reference production path (srcs/sample.py:130)
+                sample = diffusion.halfway_sampling(
+                    model_fn, chain_img.astype(chdtype), args.midway_t, key,
+                    img.astype(chdtype))
+            elif args.sampler == "ancestral":
+                # full conditional generation from noise — on-distribution at
+                # every step (diag_sampler2: beats the halfway chain)
+                sample = diffusion.p_sample_loop(
+                    model_fn, chain_img.shape, key, img.astype(chdtype))
+            else:  # ddim
+                sample = diffusion.ddim_sample(
+                    model_fn, chain_img.shape, key, img.astype(chdtype),
+                    sampling_timesteps=args.midway_t)
+            sample = sample.astype(jnp.float32)
             # decode with the TRAINING contract in_dec = pred_x_start * 18
             # (model.py x_hat path).  The reference's shipped sampler decodes
             # the /18-space sample raw (srcs/sample.py:131; its intended
@@ -171,8 +187,13 @@ def eval_diffusion(args, rows, vars_codec):
             (ref * ref).sum(-1, keepdims=True)
             / ((est * est).sum(-1, keepdims=True) + 1e-8))
         est_aligned = est * gain
+        label = {
+            "halfway": f"{args.midway_t}-step halfway",
+            "ancestral": "1000-step ancestral from noise",
+            "ddim": f"{args.midway_t}-step DDIM from noise",
+        }[args.sampler]
         rows.append((
-            f"diffusion de-qtz @{bw} kbps ({args.midway_t}-step halfway)",
+            f"diffusion de-qtz @{bw} kbps ({label})",
             si_snr(ref, est),
             mel_l1(x, jnp.asarray(est_aligned)[..., None]),
         ))
@@ -187,6 +208,11 @@ def main():
     ap.add_argument("--seconds", type=float, default=2.4)
     ap.add_argument("--n_files", type=int, default=32)
     ap.add_argument("--midway_t", type=int, default=100)
+    ap.add_argument("--sampler", choices=["halfway", "ancestral", "ddim"],
+                    default="halfway",
+                    help="halfway = reference production chain from the "
+                         "upsampled cond; ancestral/ddim = conditional "
+                         "generation from noise (ddim uses midway_t steps)")
     ap.add_argument("--cond_bandwidth", type=float, default=1.5)
     ap.add_argument("--global_scale", type=float, default=None,
                     help="default: the value persisted in the diff "
