@@ -103,6 +103,17 @@ class DiffAudioRep(nn.Module):
     beta_schedule: str = "cosine"
     diff_objective: str = "pred_noise"
     diff_loss_type: str = "l1"
+    # Auxiliary condition-prediction loss weight.  The reference's production
+    # halfway sampler (srcs/sample.py:125-131) starts the reverse chain from
+    # the max-abs-normalized upsampled condition, implicitly assuming
+    # process_cond(cond) ~ the scaled target latent — but nothing in the
+    # reference's training objective (srcs/losses/ddpm_loss.py) ties them
+    # together, and round-3 diagnosis measured that start at -56 dB from the
+    # target.  cond_pred_weight > 0 adds w * L1(process_cond(cond),
+    # stop_grad(x_rep_s)) so the upsampler output becomes an on-distribution
+    # chain start (gradient reaches only the cond upsampler; the diffusion
+    # loss is unchanged).
+    cond_pred_weight: float = 0.0
 
     @property
     def hop_length(self) -> int:
@@ -372,10 +383,16 @@ class DiffAudioRep(nn.Module):
                 )
             diffusion = self.diffusion
             model_fn = lambda xx, tt, cc: self.diff_model_fn(xx, tt, cc)
+            cond_pred_loss = None
             if cond is not None:
                 diff_loss, pred_x_start, x_t, t_out = diffusion(
                     model_fn, jax.lax.stop_gradient(x_rep_s), key_d, cond=cond, t=t
                 )
+                if self.cond_pred_weight and self.model_type == "unet":
+                    cond_up = self.diff_model.process_cond(cond)
+                    cond_pred_loss = jnp.mean(
+                        jnp.abs(cond_up - jax.lax.stop_gradient(x_rep_s))
+                    )
             elif self.qtz_condition:
                 diff_loss, pred_x_start, x_t, t_out = diffusion(
                     model_fn, x_rep_s, key_d, cond=x_rep_qtz, t=t
@@ -400,11 +417,25 @@ class DiffAudioRep(nn.Module):
                 # measured ~3x of the whole stage-3 step cost on the v5e.
                 # neg_loss stays in the (training=False) eval pass, which is
                 # where the selection metric is read.
+                if cond_pred_loss is not None:
+                    tot = diff_loss + self.cond_pred_weight * cond_pred_loss
+                    return {
+                        "tot_loss": tot,
+                        "diff_loss": diff_loss,
+                        "cond_pred": cond_pred_loss,
+                    }, aux
                 return {"diff_loss": diff_loss}, aux
             in_dec = pred_x_start * scale if scale is not None else pred_x_start
             x_hat = self.decoder(in_dec)
             neg_loss = jnp.mean(sdr_loss(x, x_hat))
             losses = {"diff_loss": diff_loss, "neg_loss": neg_loss}
+            if cond_pred_loss is not None:
+                losses = {
+                    "tot_loss": diff_loss + self.cond_pred_weight * cond_pred_loss,
+                    "diff_loss": diff_loss,
+                    "cond_pred": cond_pred_loss,
+                    "neg_loss": neg_loss,
+                }
             aux["x_hat"] = x_hat
             return losses, aux
 
@@ -448,6 +479,7 @@ class DiffAudioTime(nn.Module):
     scaling_dim: bool = False
     sampling_timesteps: tp.Optional[int] = None
     timesteps: int = 1000
+    cond_pred_weight: float = 0.0  # accepted for CLI parity; unused here
 
     def setup(self):
         if self.model_type == "unet":

@@ -127,6 +127,11 @@ def get_parser() -> argparse.ArgumentParser:
                              "objective (0 = reference-faithful neg-SDR only)")
     parser.add_argument("--melspec_compat", action="store_true",
                         help="reproduce the reference's single-scale melspec-loss bug")
+    parser.add_argument("--cond_pred_weight", type=float, default=0.0,
+                        help="aux loss tying process_cond(cond) to the scaled "
+                             "target latent, so the reference's halfway chain "
+                             "start (sample.py:125-131) is on-distribution "
+                             "(0 = reference-faithful diffusion loss only)")
     return parser
 
 
@@ -152,6 +157,7 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         upsampling_ratios=tuple(inp_args.upsampling_ratios) if inp_args.upsampling_ratios else None,
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
+        cond_pred_weight=getattr(inp_args, "cond_pred_weight", 0.0),
     )
     if inp_args.train_time_diff:
         return DiffAudioTime(**common)
@@ -483,7 +489,9 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                     best_loss = vall
                     save_checkpoint(state, inp_args.output_dir, inp_args.exp_name, note="best")
                 if step_i % 100 == 0 and step_i > 0:
-                    save_checkpoint(state, inp_args.output_dir, inp_args.exp_name, note=str(step_i))
+                    # single rolling resume point: a multi-thousand-epoch run
+                    # would otherwise accumulate dozens of full-TrainState dirs
+                    save_checkpoint(state, inp_args.output_dir, inp_args.exp_name, note="latest")
                 logging_step(step_i, tr_losses, val_losses, duration, inp_args.exp_name, best_loss)
         if inp_args.debug and step_i >= 1:
             break

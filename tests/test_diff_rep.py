@@ -71,6 +71,54 @@ def test_diffusion_model_contract():
     assert float(aux["scale"]) == GLOBAL_SCALE
 
 
+def test_cond_pred_aux_loss():
+    """cond_pred_weight adds the upsampler-alignment aux term: tot_loss is the
+    optimizer target (first key), the gradient reaches ONLY the cond
+    upsampler, and weight=0 reproduces the reference-faithful dict."""
+    kw = dict(
+        enc_ratios=(8,),
+        run_diff=True,
+        model_type="unet",
+        scaling_global=True,
+        other_cond=True,
+        cond_channels=16,
+        upsampling_ratios=(4,),
+        unet_scale_cond=True,
+        **SMALL,
+    )
+    m = DiffAudioRep(cond_pred_weight=0.5, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 1)) * 0.1
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16))
+    v = m.init(jax.random.PRNGKey(0), x, cond=cond)
+    losses, _ = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond, training=True)
+    assert list(losses.keys()) == ["tot_loss", "diff_loss", "cond_pred"]
+    np.testing.assert_allclose(
+        float(losses["tot_loss"]),
+        float(losses["diff_loss"]) + 0.5 * float(losses["cond_pred"]),
+        rtol=1e-6,
+    )
+    # eval keeps neg_loss as the last (selection) entry
+    losses_ev, _ = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond)
+    assert list(losses_ev.keys())[-1] == "neg_loss"
+    # the aux term's gradient flows only into the cond upsampler
+    g = jax.grad(
+        lambda p: m.apply({**v, "params": p}, x, key=jax.random.PRNGKey(3),
+                          cond=cond, training=True)[0]["cond_pred"]
+    )(v["params"])
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    for path, leaf in flat:
+        name = jax.tree_util.keystr(path)
+        nz = float(jnp.sum(jnp.abs(leaf)))
+        if "cond_upsampler" in name:
+            assert nz > 0, f"expected gradient in {name}"
+        else:
+            assert nz == 0, f"unexpected gradient in {name}"
+    # weight=0 keeps the original contract
+    m0 = DiffAudioRep(**kw)
+    losses0, _ = m0.apply(v, x, key=jax.random.PRNGKey(3), cond=cond, training=True)
+    assert list(losses0.keys()) == ["diff_loss"]
+
+
 def test_get_cond_stop_gradient():
     m = DiffAudioRep(enc_ratios=(8, 5, 4, 2), quantization=True, bandwidth=1.5,
                      rvq_kmeans_init=False, **SMALL)
