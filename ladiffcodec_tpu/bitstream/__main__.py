@@ -41,9 +41,11 @@ def get_parser():
     parser.add_argument("--hq", action="store_true", help="48 kHz stereo model")
     parser.add_argument("--lm", action="store_true", help="Entropy coding with the LM")
     parser.add_argument("--lm_device", type=str, default="auto",
-                        help="device for the streaming LM step: auto (CPU when "
-                             "the default backend is an accelerator), cpu, or "
-                             "default")
+                        help="engine for the streaming LM step: auto/numpy "
+                             "(host NumPy KV-cache engine, the production "
+                             "path), cpu, or default (jitted jax step on "
+                             "that backend). Encode and decode must use the "
+                             "same engine.")
     parser.add_argument("-f", "--force", action="store_true", help="Overwrite output")
     parser.add_argument(
         "-r", "--rescale", action="store_true", help="Rescale output to avoid clipping"
@@ -90,6 +92,11 @@ def _load_model_and_vars(args):
 
 
 def main(argv=None):
+    from .compress import ensure_host_cpu_backend
+
+    # before any backend use: make the host CPU addressable so the per-frame
+    # LM step can run off-tunnel (compress.resolve_lm_device "auto")
+    ensure_host_cpu_backend()
     args = get_parser().parse_args(argv)
     if not args.input.exists():
         fatal(f"Input file {args.input} does not exist.")

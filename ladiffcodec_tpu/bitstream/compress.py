@@ -3,11 +3,13 @@
 Two entropy modes:
   * fixed-width bit packing (`use_lm=False`) — whole-stream C++ fast path
     when the native lib is available;
-  * LM arithmetic coding (`use_lm=True`) — the streaming LM runs one jitted
-    step per frame (both ends MUST run the identical program so their CDFs
-    agree bit-for-bit; see note in `compress_to_file`); CDF quantization is
-    batched over codebooks in one numpy/native call, and the range coder
-    consumes/produces bits in C++ (Python fallback).
+  * LM arithmetic coding (`use_lm=True`) — the streaming LM runs one step
+    per frame (both ends MUST run the identical program so their CDFs agree
+    bit-for-bit; see `_make_lm_stepper`).  The default engine is the host
+    NumPy KV-cache step (lm_numpy.py) — the bit-serial loop never touches
+    jit dispatch; CDF quantization is batched over codebooks in one
+    numpy/native call, and the range coder consumes/produces bits in C++
+    (Python fallback).
 """
 
 from __future__ import annotations
@@ -32,18 +34,38 @@ MODELS = {
 }
 
 
+def ensure_host_cpu_backend() -> None:
+    """Extend a single-accelerator `jax_platforms` config with the host CPU.
+
+    On this runtime the platform plugin registers ONLY the tunneled TPU
+    (`JAX_PLATFORMS=axon`), so `jax.devices("cpu")` raises and the "auto"
+    policy below cannot pin the LM step to the host.  Appending ",cpu" keeps
+    the first platform the default (codec stays on the TPU) while making the
+    host CPU addressable.  Must run before the first backend use; a no-op if
+    CPU is already registered or the config is unset (default = all
+    platforms, CPU included)."""
+    try:
+        cur = jax.config.jax_platforms
+    except AttributeError:  # future jax without this config name
+        return
+    if cur and "cpu" not in cur.split(","):
+        try:
+            jax.config.update("jax_platforms", cur + ",cpu")
+        except Exception:
+            pass  # backends already initialized - "auto" falls back below
+
+
 def resolve_lm_device(lm_device: str = "auto"):
     """Map an `lm_device` policy to a jax.Device or None (= default device).
 
     "cpu" pins the per-frame streaming LM step to the host CPU backend.  On a
     remote-tunnel TPU runtime each of the 50 per-audio-second LM dispatches
     pays ~100-200 ms of tunnel round-trip, capping --lm coding at ~0.2x RT;
-    the 18 MB LM runs the same step on host CPU in well under a millisecond
-    while the codec stays on the accelerator.  "auto" = cpu when the default
-    backend is a remote/accelerator platform, else default.  CDF stability
-    across the two ends is guaranteed by the quantized-CDF grid
-    (build_stable_quantized_cdfs' 1e-8 roundoff floor, ac.py), the same
-    contract that makes the reference's coder machine-portable."""
+    the 18 MB LM runs the same step on host CPU while the codec stays on the
+    accelerator.  CDF stability across the two ends is guaranteed by the
+    quantized-CDF grid (build_stable_quantized_cdfs' 1e-8 roundoff floor,
+    ac.py), the same contract that makes the reference's coder
+    machine-portable."""
     if lm_device in (None, "", "default"):
         return None
     if lm_device == "auto":
@@ -54,6 +76,42 @@ def resolve_lm_device(lm_device: str = "auto"):
         except RuntimeError:
             return None
     return jax.devices(lm_device)[0]
+
+
+def _make_lm_stepper(lm, lm_vars, lm_device: str, n_q: int):
+    """One per-frame prediction interface over both LM engines.
+
+    Returns `step(prev) -> probs`: prev is a (n_q,) int numpy array of
+    1 + previous frame's codes (zeros at t=0); probs is (n_q, card) float32.
+
+    `lm_device` policies: "numpy" (and the default "auto") run the host-side
+    NumPy KV-cache engine (lm_numpy.NumpyLMEngine) — no jit dispatch in the
+    bit-serial loop, ~100x fewer FLOPs/step than the history-recompute jax
+    graph; "default"/"cpu"/"tpu" run the jitted jax streaming step on that
+    backend.  Encoder and decoder MUST use the same policy: the engines agree
+    only to f32 rounding, and any probability drift past the quantized-CDF
+    grid desyncs the range coder."""
+    if lm_device in ("auto", "numpy"):
+        from .lm_numpy import NumpyLMEngine
+
+        eng = NumpyLMEngine(
+            lm_vars["params"], n_q=n_q, card=lm.card, dim=lm.dim,
+            num_layers=lm.num_layers, past_context=lm.past_context,
+        )
+        return eng.step
+
+    jstep = _lm_step_fn(lm, lm_vars, resolve_lm_device(lm_device))
+    carry = {"so": lm.init_state(1)}
+
+    def step(prev: np.ndarray) -> np.ndarray:
+        states, offset = carry["so"]
+        probas, states, offset = jstep(
+            jnp.asarray(prev, jnp.int32).reshape(1, n_q, 1), states, offset
+        )
+        carry["so"] = (states, offset)
+        return np.asarray(probas[0, :, :, 0], np.float32).T  # (n_q, card)
+
+    return step
 
 
 def _lm_step_fn(lm, lm_vars, device=None):
@@ -92,29 +150,25 @@ def compress_to_file(
     }
     binary.write_ecdc_header(fo, metadata)
 
-    if use_lm:
-        assert lm is not None and lm_vars is not None
-        lm_step = _lm_step_fn(lm, lm_vars, resolve_lm_device(lm_device))
-
     for (frame, scale) in frames:
         if scale is not None:
             fo.write(struct.pack("!f", float(scale.reshape(-1)[0])))
         _, K, T = frame.shape
         if use_lm:
+            assert lm is not None and lm_vars is not None
             coder = (
                 native.NativeArithmeticCoder() if native.available() else ArithmeticCoder(fo)
             )
-            # NOTE the LM must run the SAME one-step streaming graph the
+            # NOTE the LM must run the SAME one-step streaming program the
             # decoder runs: a teacher-forced full-sequence forward would be
-            # ~T times fewer dispatches, but its XLA program is not
-            # bit-identical to the streaming one, and any probability drift
-            # past the 1e-8 roundoff grid desyncs the decoder's CDFs.
-            states, offset = lm.init_state(1)
-            input_ = jnp.zeros((1, K, 1), jnp.int32)
+            # ~T times fewer steps, but its numerics are not bit-identical
+            # to the streaming ones, and any probability drift past the
+            # 1e-8 roundoff grid desyncs the decoder's CDFs.
+            lm_step = _make_lm_stepper(lm, lm_vars, lm_device, K)
+            prev = np.zeros((K,), np.int64)
             for t in range(T):
-                probas, states, offset = lm_step(input_, states, offset)
-                input_ = 1 + jnp.asarray(frame[:, :, t : t + 1], jnp.int32)
-                p = np.asarray(probas[0, :, :, 0]).T  # (K, card)
+                p = lm_step(prev)  # (K, card)
+                prev = 1 + frame[0, :, t]
                 if native.available():
                     cdfs = native.build_cdfs(p, coder.total_range_bits)
                     coder.push_frame(frame[0, :, t].astype(np.int32), cdfs)
@@ -159,7 +213,6 @@ def decompress_from_file(
 
     if use_lm:
         assert lm is not None and lm_vars is not None
-        lm_step = _lm_step_fn(lm, lm_vars, resolve_lm_device(lm_device))
 
     frames: tp.List[EncodedFrame] = []
     segment_length = model.segment_length or audio_length
@@ -182,11 +235,10 @@ def decompress_from_file(
                 decoder = native.NativeArithmeticDecoder(rest)
             else:
                 decoder = ArithmeticDecoder(fo)
-            states, offset = lm.init_state(1)
-            input_ = jnp.zeros((1, num_codebooks, 1), jnp.int32)
+            lm_step = _make_lm_stepper(lm, lm_vars, lm_device, num_codebooks)
+            prev = np.zeros((num_codebooks,), np.int64)
             for t in range(frame_length):
-                probas, states, offset = lm_step(input_, states, offset)
-                p = np.asarray(probas[0, :, :, 0]).T
+                p = lm_step(prev)
                 if native.available():
                     cdfs = native.build_cdfs(p, decoder.total_range_bits)
                     codes = decoder.pull_frame(cdfs)
@@ -202,7 +254,7 @@ def decompress_from_file(
                         codes.append(code)
                     codes = np.asarray(codes)
                 frame[0, :, t] = codes
-                input_ = 1 + jnp.asarray(frame[:, :, t : t + 1], jnp.int32)
+                prev = 1 + frame[0, :, t]
             if native.available():
                 fo.seek(mark + decoder.tell())
                 decoder.close()

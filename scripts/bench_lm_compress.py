@@ -17,6 +17,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
+
+from ladiffcodec_tpu.bitstream.compress import ensure_host_cpu_backend
+
+ensure_host_cpu_backend()  # LM step off-tunnel (resolve_lm_device "auto")
+
 import jax.numpy as jnp
 
 from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
