@@ -33,8 +33,9 @@ import jax.numpy as jnp
 def main() -> None:
     # persistent compile cache: repeat bench runs skip the multi-minute
     # TPU compile of the 50/100-step sampler graph
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ldc_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from ladiffcodec_tpu.utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["ddim50", "halfway100"], default="ddim50")
     ap.add_argument("--batch", type=int, default=16)

@@ -379,6 +379,9 @@ def synthesis(inp_args) -> None:
 
 
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
+    from .utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache()
     parser = get_parser()
     inp_args = parser.parse_args(argv)
     apply_run_config(inp_args, parser, argv)

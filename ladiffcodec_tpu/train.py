@@ -213,8 +213,9 @@ def run_eval_epoch(eval_step, state, loader, cond_vars, key):
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     # persistent compile cache: restarted/chained runs skip the multi-minute
     # tunnel compile of the scanned train step (same cache as bench.py)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/ldc_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    from .utils.compile_cache import setup_compile_cache
+
+    setup_compile_cache()
     inp_args = get_parser().parse_args(argv)
     assert not (inp_args.self_condition and inp_args.qtz_condition)
 

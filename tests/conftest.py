@@ -24,5 +24,8 @@ jax.config.update("jax_enable_x64", False)
 # Persistent compile cache: the fast loop is compile-bound on this 1-core
 # box, and CPU-side XLA compiles DO hit this cache (unlike tunnel-side TPU
 # compiles).  Repeat suite runs skip every previously-seen jit shape.
-jax.config.update("jax_compilation_cache_dir", "/tmp/ldc_jax_cache")
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
