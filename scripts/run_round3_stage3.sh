@@ -38,7 +38,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     --scaling_global --global_scale 1.3 \
     --rep_dims 128 --emb_dims 128 --diff_dims 128 --enc_ratios 8 \
     --unet_scale_cond --cond_pred_weight 0.5 \
-    --model_for_cond saved_models/stage1_codec_nodisc \
+    --model_for_cond "${COND:-saved_models/stage1_codec_nodisc_r3}" \
     --cond_enc_ratios 8 5 4 2 --cond_quantization --cond_bandwidth 1.5 \
     --upsampling_ratios 5 4 2 \
     --finetune_model "$START" \
