@@ -303,8 +303,13 @@ class GaussianDiffusion1D:
             coef = jnp.sqrt(jnp.maximum(1 - alpha_next - sigma ** 2, 0.0))
             key, sub = jax.random.split(key)
             noise = jax.random.normal(sub, img.shape, img.dtype)
-            img_next = x_start * jnp.sqrt(alpha_next) + coef * pred_noise + sigma * noise
-            img = jnp.where(time_next < 0, x_start, img_next)
+            # scalar schedule coefficients are f32; cast so a bf16 chain stays
+            # bf16 through the scan carry (the per-t paths go through
+            # _extract(..., dtype) — this is the one indexed-scalar site)
+            dt = img.dtype
+            img_next = (x_start * jnp.sqrt(alpha_next).astype(dt)
+                        + coef.astype(dt) * pred_noise + sigma.astype(dt) * noise)
+            img = jnp.where(time_next < 0, x_start, img_next).astype(dt)
             return (img, x_start, key), None
 
         (img, _, _), _ = jax.lax.scan(step, (img, jnp.zeros_like(img), key), jnp.asarray(pairs))

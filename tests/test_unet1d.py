@@ -130,3 +130,27 @@ def test_sampler_bf16_chain_close_to_f32():
     one16 = diff.halfway_sampling(model_fn, img.astype(jnp.bfloat16), 1, key)
     err = float(jnp.max(jnp.abs(one32 - one16.astype(jnp.float32))))
     assert err < 0.05, err
+
+
+def test_ddim_bf16_chain_runs_and_tracks_f32():
+    """ddim_from with a bf16 carry compiles (its indexed scalar schedule
+    coefficients must follow the carry dtype — the perf-matrix run caught a
+    f32 promotion breaking the scan carry) and tracks the f32 chain."""
+    from ladiffcodec_tpu.diffusion.gaussian import GaussianDiffusion1D, make_schedule
+
+    diff = GaussianDiffusion1D(schedule=make_schedule(100))
+    w = jax.random.normal(jax.random.PRNGKey(0), (8, 8)) * 0.1
+
+    def model_fn(x, t, c):
+        return jnp.tanh(x @ w.astype(x.dtype))
+
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 8)) * 0.5
+    key = jax.random.PRNGKey(2)
+    out32 = diff.ddim_from(model_fn, img, 50, 10, key)
+    out16 = diff.ddim_from(model_fn, img.astype(jnp.bfloat16), 50, 10, key)
+    assert out16.dtype == jnp.bfloat16
+    o16 = out16.astype(jnp.float32)
+    assert bool(jnp.isfinite(o16).all())
+    # eta=0 -> the DDIM chain is deterministic; agreement is rounding-limited
+    err = float(jnp.max(jnp.abs(out32 - o16)))
+    assert err < 0.08, err
