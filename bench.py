@@ -41,7 +41,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--param_dtype", choices=["float32", "bfloat16"], default="float32",
                     help="bfloat16 halves weight HBM reads in the denoise scan")
-    ap.add_argument("--attn_layout", choices=["bhtd", "bthd"], default="bhtd",
+    ap.add_argument("--attn_layout", choices=["bhtd", "bthd"], default="bthd",
                     help="bthd removes the attention head-split transposes")
     ap.add_argument("--chain_dtype", choices=["float32", "bfloat16"], default="float32",
                     help="dtype of the denoise-scan carry + posterior math")

@@ -98,7 +98,7 @@ class DiffAudioRep(nn.Module):
     rvq_threshold_ema_dead_code: float = 2.0
     # diffusion
     fused_norm: tp.Any = False  # inference-only Pallas norm fusion in Unet1D
-    attn_layout: str = "bhtd"  # Unet1D attention layout ("bthd" = no head transposes)
+    attn_layout: str = "bthd"  # Unet1D attention layout: transpose-free (B,T,H,D) einsums; "bhtd" = head-major legacy
     timesteps: int = 1000
     beta_schedule: str = "cosine"
     diff_objective: str = "pred_noise"

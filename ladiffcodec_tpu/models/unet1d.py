@@ -319,7 +319,7 @@ class Attention(nn.Module):
 class PreNormResidual(nn.Module):
     dim: int
     linear: bool = True
-    attn_layout: str = "bhtd"
+    attn_layout: str = "bthd"
 
     @nn.compact
     def __call__(self, x):
@@ -388,7 +388,7 @@ class Unet1D(nn.Module):
     random_fourier_features: bool = False
     learned_sinusoidal_dim: int = 16
     fused_norm: tp.Any = False  # inference-only Pallas norm fusion
-    attn_layout: str = "bhtd"  # "bthd" removes head-split transposes
+    attn_layout: str = "bthd"  # transpose-free default; "bhtd" = head-major legacy
 
     @property
     def channels(self) -> int:

@@ -92,7 +92,7 @@ def get_parser() -> argparse.ArgumentParser:
                         choices=["float32", "bfloat16"],
                         help="cast model weights for decode (bfloat16 halves "
                              "weight HBM reads in the denoise scan)")
-    parser.add_argument("--attn_layout", type=str, default="bhtd",
+    parser.add_argument("--attn_layout", type=str, default="bthd",
                         choices=["bhtd", "bthd"],
                         help="UNet attention tensor layout: bthd keeps "
                              "(B,T,H,D) end-to-end (no head-split transposes)")
@@ -198,7 +198,7 @@ def build_main_model(inp_args) -> DiffAudioRep:
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
         sampling_timesteps=inp_args.sampling_timesteps,
-        attn_layout=getattr(inp_args, "attn_layout", "bhtd"),
+        attn_layout=getattr(inp_args, "attn_layout", "bthd"),
     )
     if inp_args.train_time_diff:
         return DiffAudioTime(**{k: v for k, v in kwargs.items() if k in DiffAudioTime.__dataclass_fields__})
