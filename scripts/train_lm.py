@@ -51,7 +51,11 @@ def main():
     ap.add_argument("--dim", type=int, default=200)
     ap.add_argument("--layers", type=int, default=5)
     ap.add_argument("--lr", type=float, default=3e-4)
-    ap.add_argument("--n_utts", type=int, default=512)
+    ap.add_argument("--n_utts", type=int, default=100000)
+    ap.add_argument("--passes", type=int, default=2,
+                    help="corpus crop passes over the file list (fresh "
+                         "random windows each pass)")
+    ap.add_argument("--dev_utts", type=int, default=64)
     args = ap.parse_args()
 
     codec = DiffAudioRep(
@@ -62,16 +66,26 @@ def main():
     encode = jax.jit(lambda v, x: codec.apply(v, x, method="encode_codes"))
 
     # ---- corpus of code sequences ----
-    ds = DatasetLibri("train", 4.0, args.data, 16000)
-    B_ENC = 32
-    utts = []
-    for i in range(0, min(args.n_utts, len(ds)), B_ENC):
-        xs = np.stack([ds[j] for j in range(i, min(i + B_ENC, len(ds)))])[..., None]
-        codes = np.asarray(encode(cvars, jnp.asarray(xs)))  # (K, B, T)
-        utts.append(codes.transpose(1, 0, 2))  # (B, K, T)
-    corpus = np.concatenate(utts)  # (N, K, T)
+    # DatasetLibri random-crops per access, so each pass over the file list
+    # yields NEW windows: --passes multiplies crop coverage (the round-3
+    # single-pass 512-utt corpus memorized: train-window NLL 2.75 bits/code
+    # vs 7.0 on fresh crops of the same split)
+    def build_codes(split: str, n: int, passes: int = 1) -> np.ndarray:
+        ds = DatasetLibri(split, 4.0, args.data, 16000)
+        B_ENC = 32
+        utts = []
+        for _ in range(passes):
+            for i in range(0, min(n, len(ds)), B_ENC):
+                xs = np.stack([ds[j] for j in range(i, min(i + B_ENC, len(ds)))])[..., None]
+                codes = np.asarray(encode(cvars, jnp.asarray(xs)))  # (K, B, T)
+                utts.append(codes.transpose(1, 0, 2))  # (B, K, T)
+        return np.concatenate(utts)
+
+    corpus = build_codes("train", args.n_utts, args.passes)
     N, K, T = corpus.shape
-    print(f"corpus: {N} utts x {K} books x {T} frames", flush=True)
+    dev = jnp.asarray(build_codes("eval", args.dev_utts), jnp.int32)
+    print(f"corpus: {N} utts x {K} books x {T} frames (+{dev.shape[0]} dev)",
+          flush=True)
 
     lm = LMModel(n_q=K, card=codec.bins, dim=args.dim, num_layers=args.layers)
     lmv = lm.init(jax.random.PRNGKey(0), jnp.zeros((1, K, 8), jnp.int32))
@@ -96,24 +110,32 @@ def main():
         updates, opt_state = opt.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    eval_nll = jax.jit(loss_fn)
+
     params = lmv["params"]
     rng = np.random.default_rng(0)
     t0 = time.time()
+    best_dev, best_params = float("inf"), params
     for i in range(args.steps):
         rows = rng.integers(0, N, args.batch)
         starts = rng.integers(0, T - C + 1, args.batch)
         batch = np.stack([corpus[r, :, s : s + C] for r, s in zip(rows, starts)])
         params, opt_state, loss = step(params, opt_state, jnp.asarray(batch, jnp.int32))
         if i % 100 == 0:
+            dev_nll = float(eval_nll(params, dev))
+            if dev_nll < best_dev:
+                best_dev, best_params = dev_nll, params
             bits = float(loss) / np.log(2.0)
-            print(f"step {i}: nll {float(loss):.3f} = {bits:.2f} bits/code "
+            print(f"step {i}: nll {float(loss):.3f} = {bits:.2f} bits/code | "
+                  f"dev {dev_nll / np.log(2.0):.2f} (best "
+                  f"{best_dev / np.log(2.0):.2f}) | "
                   f"(fixed-width {np.log2(codec.bins):.0f}) {time.time()-t0:.0f}s",
                   flush=True)
 
-    path = save_checkpoint({"params": params}, os.path.dirname(args.out) or ".",
+    path = save_checkpoint({"params": best_params}, os.path.dirname(args.out) or ".",
                            os.path.basename(args.out), note="best")
-    bits = float(loss) / np.log(2.0)
-    print(f"saved {path}; final {bits:.2f} bits/code vs 10 fixed "
+    bits = best_dev / np.log(2.0)
+    print(f"saved {path} (best dev); dev {bits:.2f} bits/code vs 10 fixed "
           f"-> ideal gain {100 * (1 - bits / 10):.1f}%", flush=True)
 
 
