@@ -43,8 +43,10 @@ def main() -> None:
                     help="bfloat16 halves weight HBM reads in the denoise scan")
     ap.add_argument("--attn_layout", choices=["bhtd", "bthd"], default="bthd",
                     help="bthd removes the attention head-split transposes")
-    ap.add_argument("--chain_dtype", choices=["float32", "bfloat16"], default="float32",
-                    help="dtype of the denoise-scan carry + posterior math")
+    ap.add_argument("--chain_dtype", choices=["float32", "bfloat16"], default="bfloat16",
+                    help="dtype of the denoise-scan carry + posterior math "
+                         "(bf16 is the recorded headline config; sampler math "
+                         "is parity-tested at both dtypes)")
     args = ap.parse_args()
 
     from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
