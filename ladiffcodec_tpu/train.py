@@ -53,6 +53,13 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--exp_name", type=str, default="")
     parser.add_argument("--finetune_model", type=str, default="")
     parser.add_argument("--write_on_every", type=int, default=50)
+    parser.add_argument("--min_save_gain", type=float, default=0.002,
+                        help="only write model_best when the selection metric "
+                             "improved by this RELATIVE margin since the last "
+                             "written best (full-TrainState orbax writes cost "
+                             "~45s here; early training improves every eval). "
+                             "model_best is thus at most this much worse than "
+                             "the true best. 0 restores write-every-improvement")
     parser.add_argument("--model_type", type=str, default="transformer")
     parser.add_argument("--freeze_ed", action="store_true")
     parser.add_argument("--train_time_diff", action="store_true")
@@ -380,6 +387,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     eval_step = jax.jit(eval_losses)
 
     best_loss = float("inf")
+    last_saved_best = float("inf")
     # honor the flag (round-2 hardcoded 5: the every-5-epoch val pass is
     # itself ~an epoch of compute on this box, a 20% tax at the default)
     write_on_every = 1 if inp_args.debug else max(1, inp_args.write_on_every)
@@ -394,6 +402,7 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             cond_vars, jax.random.PRNGKey(1234)
         )
         best_loss = list(init_val.values())[-1]
+        last_saved_best = best_loss
         print(f"finetune baseline val (selection metric): {best_loss:.4f}")
 
     # preemption safety (the failure handling the reference lacks, SURVEY
@@ -488,7 +497,19 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             else:
                 if vall < best_loss:
                     best_loss = vall
-                    save_checkpoint(state, inp_args.output_dir, inp_args.exp_name, note="best")
+                    # Throttle the 100s-of-MB orbax write: early training
+                    # improves at EVERY eval, and on this box a full
+                    # TrainState save costs ~45 s — unthrottled best-saves
+                    # were ~60% of stage-3 wall time.  Only write when the
+                    # metric beat the last WRITTEN best by min_save_gain
+                    # (relative), or on the final epoch so the run always
+                    # ends with its best on disk.
+                    rel_gain = (last_saved_best - vall) / max(abs(last_saved_best), 1e-12)
+                    if (last_saved_best == float("inf")
+                            or rel_gain >= inp_args.min_save_gain
+                            or step_i >= inp_args.steps - write_on_every):
+                        save_checkpoint(state, inp_args.output_dir, inp_args.exp_name, note="best")
+                        last_saved_best = vall
                 if step_i % 100 == 0 and step_i > 0:
                     # single rolling resume point: a multi-thousand-epoch run
                     # would otherwise accumulate dozens of full-TrainState dirs

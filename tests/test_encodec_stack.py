@@ -100,6 +100,7 @@ def test_compress_with_lm_roundtrip():
     np.testing.assert_allclose(out, direct, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow  # measured heavyweight (durations top-10); full suite still runs it
 def test_lm_streaming_state_consistency():
     """Feeding tokens one step at a time with carried state must match the
     full-sequence pass (the streaming contract)."""

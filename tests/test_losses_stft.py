@@ -88,6 +88,7 @@ def test_neg_sdsdr_matches_formula():
     assert float(sdr_loss(jnp.asarray(bad), jnp.asarray(worse))[0]) >= -30.0
 
 
+@pytest.mark.slow  # measured heavyweight (durations top-10); full suite still runs it
 def test_melspec_loss_compat_vs_fixed():
     x = jnp.asarray(np.random.RandomState(3).randn(1, 4096, 1).astype(np.float32))
     y = x + 0.01
@@ -102,6 +103,7 @@ def test_prior_loss_zero_at_unit_gaussian():
     assert float(prior_loss_fn(mu, logvar)) == pytest.approx(0.0)
 
 
+@pytest.mark.slow  # measured heavyweight (durations top-10); full suite still runs it
 def test_msstftd_contract():
     from ladiffcodec_tpu.models.msstftd import MultiScaleSTFTDiscriminator
 

@@ -3,6 +3,7 @@ variables to a reference-layout state_dict and converting back must
 reproduce the original tree bit-for-bit."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -41,6 +42,7 @@ def test_seanet_roundtrip():
     tree_equal(jax.tree.map(np.asarray, pd), back)
 
 
+@pytest.mark.slow  # measured heavyweight (durations top-10); full suite still runs it
 def test_unet_roundtrip():
     from ladiffcodec_tpu.models.unet1d import Unet1D
 

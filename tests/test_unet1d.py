@@ -81,6 +81,7 @@ def test_unet_film_params_exist():
     assert any("scale_layer" in n for n in names), sorted(names)[:10]
 
 
+@pytest.mark.slow  # measured heavyweight (durations top-10); full suite still runs it
 def test_attn_layout_bthd_matches_bhtd():
     """The transpose-free (B,T,H,D) attention layout is numerically the same
     program as the head-major one (same params, same contractions — only the
