@@ -9,6 +9,7 @@ Layout mirrors the reference filenames: `{output_dir}/{exp_name}/model_{note}`
 from __future__ import annotations
 
 
+import shutil
 import typing as tp
 from pathlib import Path
 
@@ -50,11 +51,27 @@ def load_run_config(ckpt_path: tp.Union[str, Path]) -> dict:
 
 
 def save_checkpoint(state, output_dir: str, exp_name: str, note: str = "best") -> str:
+    """Atomic overwrite: orbax's force=True deletes the destination before the
+    multi-second write, so a preemption (or a concurrent reader — eval scripts
+    run against model_best while training) mid-write would see a missing or
+    half-written checkpoint.  Write to a sibling tmp dir, then swap via rename
+    (same filesystem, so both renames are atomic syscalls)."""
     path = _ckpt_dir(output_dir, exp_name, note)
     path.parent.mkdir(parents=True, exist_ok=True)
+    tmp = path.parent / (path.name + ".tmp")
+    if tmp.exists():
+        shutil.rmtree(tmp)
     ckptr = ocp.StandardCheckpointer()
-    ckptr.save(path, state, force=True)
+    ckptr.save(tmp.resolve(), state, force=True)
     ckptr.wait_until_finished()
+    old = path.parent / (path.name + ".old")
+    if old.exists():
+        shutil.rmtree(old)
+    if path.exists():
+        path.rename(old)
+    tmp.rename(path)
+    if old.exists():
+        shutil.rmtree(old)
     return str(path)
 
 
