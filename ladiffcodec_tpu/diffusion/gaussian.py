@@ -70,6 +70,16 @@ def sigmoid_beta_schedule(
     return np.clip(betas, 0, 0.999)
 
 
+def shift_alphas_cumprod(alphas_cumprod: np.ndarray, snr_scale: float) -> np.ndarray:
+    """Log-SNR shift:  ab' = s^2*ab / (1 - ab + s^2*ab)  (float64).
+
+    SNR'_t = s^2 * SNR_t for every t, so data of per-element std ``1/s``
+    sees the unit-std SNR trajectory of the unshifted schedule."""
+    ab = np.asarray(alphas_cumprod, dtype=np.float64)
+    s2 = float(snr_scale) ** 2
+    return s2 * ab / (1.0 - ab + s2 * ab)
+
+
 @struct.dataclass
 class DiffusionSchedule:
     """All per-timestep buffers (float32, shape (T,))."""
@@ -98,7 +108,28 @@ def make_schedule(
     beta_schedule: str = "cosine",
     p2_loss_weight_gamma: float = 0.0,
     p2_loss_weight_k: float = 1.0,
+    snr_scale: float = 1.0,
 ) -> DiffusionSchedule:
+    """Build the per-timestep schedule buffers.
+
+    ``snr_scale`` applies a log-SNR shift to the base schedule:
+
+        alpha-bar' = s^2 * ab / (1 - ab + s^2 * ab),   s = snr_scale
+
+    so that data whose per-element std is ``1/s`` sees the same *effective*
+    signal-to-noise trajectory as unit-std data under the unshifted schedule
+    (SNR'_t * (1/s)^2 == SNR_t).  This matters because the reference
+    normalizes latents by max-abs (srcs/model.py:122-143 divides by 18); a
+    latent whose max-abs is ~1 but whose RMS is ~0.07 sits ~23 dB below the
+    unit noise at every t, the eps-net can reach a low loss by copying its
+    input, and every reverse-chain x0 readout amplifies the residual —
+    measured round 3 as "more sampler steps make the latent strictly worse".
+    Shifting the schedule (rather than rescaling the data) keeps the
+    reference's halfway-chain contract intact: process_cond's max-abs-scaled
+    output and the scaled target latent still live in the same ~[-1, 1] box.
+    Same mechanism as the resolution-dependent schedule shift in
+    simple-diffusion (Hoogeboom et al. 2023).
+    """
     if beta_schedule == "linear":
         betas = linear_beta_schedule(timesteps)
     elif beta_schedule == "cosine":
@@ -110,6 +141,13 @@ def make_schedule(
 
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas)
+    if snr_scale != 1.0:
+        alphas_cumprod = shift_alphas_cumprod(alphas_cumprod, snr_scale)
+        # re-derive betas so every downstream buffer (posterior variance /
+        # mean coefficients, p2 weights, DDIM eta terms) stays self-consistent
+        shifted_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
+        alphas = alphas_cumprod / shifted_prev
+        betas = np.clip(1.0 - alphas, 1e-12, 0.999)
     alphas_cumprod_prev = np.concatenate([[1.0], alphas_cumprod[:-1]])
     posterior_variance = betas * (1.0 - alphas_cumprod_prev) / (1.0 - alphas_cumprod)
 

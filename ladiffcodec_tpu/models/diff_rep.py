@@ -103,6 +103,11 @@ class DiffAudioRep(nn.Module):
     beta_schedule: str = "cosine"
     diff_objective: str = "pred_noise"
     diff_loss_type: str = "l1"
+    # Per-element std of the SCALED latent (x_rep / global_scale).  The
+    # schedule is SNR-shifted by 1/data_std so the diffusion sees the same
+    # effective SNR trajectory as unit-std data (see make_schedule); 1.0
+    # reproduces the reference schedule exactly.
+    data_std: float = 1.0
     # Auxiliary condition-prediction loss weight.  The reference's production
     # halfway sampler (srcs/sample.py:125-131) starts the reverse chain from
     # the max-abs-normalized upsampled condition, implicitly assuming
@@ -232,7 +237,8 @@ class DiffAudioRep(nn.Module):
     @property
     def diffusion(self) -> GaussianDiffusion1D:
         return GaussianDiffusion1D(
-            schedule=make_schedule(self.timesteps, self.beta_schedule),
+            schedule=make_schedule(self.timesteps, self.beta_schedule,
+                                   snr_scale=1.0 / self.data_std),
             objective=self.diff_objective,
             loss_type=self.diff_loss_type,
             sampling_timesteps=self.sampling_timesteps,
@@ -480,6 +486,7 @@ class DiffAudioTime(nn.Module):
     sampling_timesteps: tp.Optional[int] = None
     timesteps: int = 1000
     cond_pred_weight: float = 0.0  # accepted for CLI parity; unused here
+    data_std: float = 1.0  # SNR-shift divisor, see DiffAudioRep.data_std
 
     def setup(self):
         if self.model_type == "unet":
@@ -521,7 +528,8 @@ class DiffAudioTime(nn.Module):
     @property
     def diffusion(self) -> GaussianDiffusion1D:
         return GaussianDiffusion1D(
-            schedule=make_schedule(self.timesteps),
+            schedule=make_schedule(self.timesteps,
+                                   snr_scale=1.0 / self.data_std),
             sampling_timesteps=self.sampling_timesteps,
             self_condition=self.self_condition,
         )

@@ -61,6 +61,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--scaling_feature", action="store_true")
     parser.add_argument("--scaling_global", action="store_true")
     parser.add_argument("--global_scale", type=float, default=18.0)
+    parser.add_argument("--data_std", type=float, default=1.0,
+                        help="per-element std of the scaled latent; SNR-shifts "
+                             "the schedule by 1/data_std (must match training)")
     parser.add_argument("--scaling_dim", action="store_true")
     parser.add_argument("--sampling_timesteps", type=int, default=1000)
     parser.add_argument("--use_film", action="store_true")
@@ -199,6 +202,7 @@ def build_main_model(inp_args) -> DiffAudioRep:
         unet_scale_cond=inp_args.unet_scale_cond,
         sampling_timesteps=inp_args.sampling_timesteps,
         attn_layout=getattr(inp_args, "attn_layout", "bthd"),
+        data_std=getattr(inp_args, "data_std", 1.0),
     )
     if inp_args.train_time_diff:
         return DiffAudioTime(**{k: v for k, v in kwargs.items() if k in DiffAudioTime.__dataclass_fields__})

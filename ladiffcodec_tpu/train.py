@@ -139,6 +139,12 @@ def get_parser() -> argparse.ArgumentParser:
                              "target latent, so the reference's halfway chain "
                              "start (sample.py:125-131) is on-distribution "
                              "(0 = reference-faithful diffusion loss only)")
+    parser.add_argument("--data_std", type=float, default=1.0,
+                        help="per-element std of the scaled latent "
+                             "(x_rep/global_scale); the diffusion schedule is "
+                             "SNR-shifted by 1/data_std so a max-abs-normalized "
+                             "latent with small RMS still sees a unit-std SNR "
+                             "trajectory (1.0 = reference schedule)")
     return parser
 
 
@@ -165,6 +171,7 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
         cond_pred_weight=getattr(inp_args, "cond_pred_weight", 0.0),
+        data_std=getattr(inp_args, "data_std", 1.0),
     )
     if inp_args.train_time_diff:
         return DiffAudioTime(**common)
