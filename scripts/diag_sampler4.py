@@ -45,18 +45,28 @@ def main():
     ap.add_argument("--n_files", type=int, default=8)
     ap.add_argument("--cond_bandwidth", type=float, default=1.5)
     ap.add_argument("--global_scale", type=float, default=None)
+    ap.add_argument("--data_std", type=float, default=None,
+                    help="SNR-shift divisor; default: read from config.json")
+    ap.add_argument("--sdedit", action="store_true",
+                    help="also run noise-matched sdedit rows: chain start "
+                         "noised to midway_t via q_sample, then denoised")
     ap.add_argument("--ae_ratios", nargs="+", type=int, default=[8])
     ap.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 4, 2])
     ap.add_argument("--midway_ts", nargs="+", type=int, default=[1, 5, 10, 25, 50, 100])
     args = ap.parse_args()
 
-    if args.global_scale is None:
-        from ladiffcodec_tpu.utils.checkpoint import load_run_config
+    from ladiffcodec_tpu.utils.checkpoint import load_run_config
 
-        cfg = load_run_config(args.diff)
+    cfg = load_run_config(args.diff)
+    if not cfg:
+        print(f"WARNING: no config.json found for {args.diff} — "
+              f"falling back to flag/default hyperparameters")
+    if args.global_scale is None:
         args.global_scale = float(cfg.get("global_scale", 18.0))
+    if args.data_std is None:
+        args.data_std = float(cfg.get("data_std", 1.0))
     gs = args.global_scale
-    print(f"global_scale = {gs}")
+    print(f"global_scale = {gs}   data_std = {args.data_std}")
 
     vars_diff = load_vars(args.diff)
     vars_codec = load_vars(args.codec)
@@ -64,7 +74,7 @@ def main():
     model = DiffAudioRep(
         rep_dims=128, diff_dims=128, n_filters=32, lstm=2,
         enc_ratios=tuple(args.ae_ratios), run_diff=True, model_type="unet",
-        scaling_global=True, global_scale=gs,
+        scaling_global=True, global_scale=gs, data_std=args.data_std,
         other_cond=True, cond_channels=128,
         upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True,
     )
@@ -91,11 +101,19 @@ def main():
             return model.apply(vd, z, t, c, True, method="diff_model_fn")
 
         out["pred_0"] = img
+        names = ["pred_0"]
         for t in mts:
             key, sub = jax.random.split(key)
             out[f"halfway_{t}"] = diffusion.halfway_sampling(model_fn, img, t, sub, img)
+            names.append(f"halfway_{t}")
+            if args.sdedit and t > 0:
+                key, kn, ks = jax.random.split(key, 3)
+                tt = jnp.full((img.shape[0],), t, jnp.int32)
+                noised = diffusion.q_sample(img, tt, jax.random.normal(kn, img.shape))
+                out[f"sdedit_{t}"] = diffusion.halfway_sampling(model_fn, noised, t, ks, img)
+                names.append(f"sdedit_{t}")
 
-        for name in ["pred_0"] + [f"halfway_{t}" for t in mts]:
+        for name in names:
             out["dec_" + name] = model.apply(vd, out[name] * gs, method="decode")
         out["dec_codec"] = cond_model.apply(vc, xx, training=False,
                                             mutable=["quantizer"])[0][1]["x_hat"]
@@ -113,7 +131,12 @@ def main():
     print(f"chain start (process_cond) latent SI-SNR vs rep: "
           f"{lat_sisnr(rep, out['img']):.2f} dB")
     print(f"\n{'sampler':<14} {'latent SI-SNR':>14} {'wav SI-SNR':>11} {'mel':>8} {'mel(rms-al)':>12}")
-    for name in ["pred_0"] + [f"halfway_{t}" for t in mts]:
+    names = ["pred_0"]
+    for t in mts:
+        names.append(f"halfway_{t}")
+        if args.sdedit and t > 0:
+            names.append(f"sdedit_{t}")
+    for name in names:
         lat = lat_sisnr(rep, out[name])
         est = np.asarray(out["dec_" + name])[..., 0]
         mel = float(melspec_loss_fn(x, jnp.asarray(out["dec_" + name]), range(5, 12)))

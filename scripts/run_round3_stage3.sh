@@ -1,18 +1,21 @@
 #!/bin/bash
-# Round-3 stage-3 long retrain (VERDICT r2 item 1).
+# Round-3 stage-3 chunked retrain (VERDICT r2 item 1).
 #
-# The round-2 diffusion row was mistrained under global_scale=18 (the
-# reference's hardcoded divisor, srcs/model.py:166) and the retrained 33k-step
-# v3 checkpoint was lost to a VM restart (only its config.json was committed).
-# This run retrains from the frozen stage-2 AE with:
-#   - --global_scale 1.3 (measured stage-2 latent max-abs ~1.26)
-#   - --cond_pred_weight 0.5: aux L1 tying process_cond(cond) to the scaled
-#     target latent, so the reference production halfway chain
-#     (srcs/sample.py:125-131) starts on-distribution (round-3 diagnosis
-#     measured the unconstrained upsampler start at -56 dB from the target)
-#   - fixed-key model selection, decoder readout skipped in the train step
+# History:
+#   r2   trained under the reference's hardcoded global_scale=18 against an
+#        encoder whose latents peak at ~1.3 -> de-quantizer degraded its own
+#        condition (BASELINE.md, pre-fix row).
+#   r3   global_scale 1.3 (measured max-abs) + --cond_pred_weight 0.5 for an
+#        on-distribution halfway chain start. Still diverged: max-abs
+#        normalization leaves the scaled latent's RMS at ~0.065, ~24 dB under
+#        the unit diffusion noise, so every extra sampler step made the
+#        latent strictly worse (logs/diag_sampler*.txt).
+#   r4   adds --data_std 0.065: SNR-shifted schedule (gaussian.py
+#        make_schedule) so the effective SNR trajectory matches unit-std
+#        data. Also val every 25 steps (the val pass runs the neg_loss
+#        sampler, which dominated r3 wall time at --write_on_every 10).
 #
-# Chunked: each CHUNK-epoch segment resumes from model_latest with full
+# Chunked: each CHUNK-step segment resumes from model_latest with full
 # TrainState (opt state included), so a VM restart costs at most one chunk.
 # The caller commits logs (and periodically the checkpoint) between chunks.
 #
@@ -20,10 +23,11 @@
 set -u
 cd "$(dirname "$0")/.."
 
-EXP=${EXP:-stage3_diff_r3}
-CHUNK=${CHUNK:-600}
+EXP=${EXP:-stage3_diff_r4}
+CHUNK=${CHUNK:-1500}
 DEADLINE=${DEADLINE:?unix-seconds deadline; no new chunk starts after this}
 START=${START:-saved_models/stage2_ae/model_best}
+DATA_STD=${DATA_STD:-0.065}
 LOG=logs/${EXP}.txt
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
@@ -33,9 +37,9 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   echo "=== chunk from $START at $(date -u) ===" >> "$LOG"
   timeout 5400 python -m ladiffcodec_tpu.train \
     --data_folder_path data_synth --seq_len_p_sec 1.2 --batch_size 32 \
-    --lr 1e-4 --grad_clip 1.0 --write_on_every 10 --steps_per_dispatch 5 \
+    --lr 1e-4 --grad_clip 1.0 --write_on_every 25 --steps_per_dispatch 5 \
     --model_type unet --run_diff --freeze_ed \
-    --scaling_global --global_scale 1.3 \
+    --scaling_global --global_scale 1.3 --data_std "$DATA_STD" \
     --rep_dims 128 --emb_dims 128 --diff_dims 128 --enc_ratios 8 \
     --unet_scale_cond --cond_pred_weight 0.5 \
     --model_for_cond "${COND:-saved_models/stage1_codec_nodisc_r3}" \
@@ -45,7 +49,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     --exp_name "$EXP" --steps "$CHUNK" >> "$LOG" 2>&1
   rc=$?
   echo "=== chunk exit $rc at $(date -u) ===" >> "$LOG"
-  git add "$LOG" && git commit -q -m "stage-3 r3 training log checkpoint" || true
+  git add "$LOG" && git commit -q -m "stage-3 r4 training log checkpoint" || true
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
     echo "chunk failed (rc=$rc), stopping" >> "$LOG"
     break
