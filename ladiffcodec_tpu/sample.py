@@ -139,7 +139,7 @@ _CONFIG_KEYS = (
     "rep_dims", "emb_dims", "diff_dims", "n_filters", "lstm",
     "n_residual_layers", "enc_ratios", "quantization", "bandwidth",
     "run_diff", "run_vae", "model_type", "scaling_frame", "scaling_feature",
-    "scaling_global", "scaling_dim", "global_scale", "use_film",
+    "scaling_global", "scaling_dim", "global_scale", "data_std", "use_film",
     "cond_global", "upsampling_ratios", "cond_enc_ratios", "cond_bandwidth",
     "unet_scale_cond", "unet_scale_x", "qtz_condition", "self_condition",
     "final_activation", "train_time_diff", "sample_rate",
