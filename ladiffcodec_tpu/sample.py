@@ -80,11 +80,12 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--midway_t", type=int, default=100)
     parser.add_argument(
         "--sampler", type=str, default="halfway",
-        choices=["halfway", "ddim", "full", "infilling"],
-        help="halfway = reference production path (sample.py:130); ddim = "
-             "truncated fast path; full = ancestral from noise "
-             "(reference's commented-out alternative, sample.py:98-105); "
-             "infilling = reference sample.py:107-122",
+        choices=["halfway", "sdedit", "ddim", "full", "infilling"],
+        help="halfway = reference production path (sample.py:130); sdedit = "
+             "halfway with the chain start q_sample-noised to midway_t "
+             "(on-distribution start); ddim = truncated fast path; full = "
+             "ancestral from noise (reference's commented-out alternative, "
+             "sample.py:98-105); infilling = reference sample.py:107-122",
     )
     parser.add_argument("--infill_lam", type=float, default=0.1)
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
@@ -262,6 +263,17 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=
             sample = diffusion.ddim_from(
                 model_fn, chain_img, midway_t, inp_args.sampling_timesteps, key, cond_p
             )
+        elif inp_args.sampler == "sdedit":
+            # noise-matched halfway: q_sample the chain start to midway_t
+            # first, so the reverse chain begins ON the forward-process
+            # distribution instead of at the raw (imperfect) cond prediction
+            key, kn = jax.random.split(key)
+            tt = jnp.full((B,), midway_t, jnp.int32)
+            noised = diffusion.q_sample(
+                chain_img.astype(jnp.float32), tt,
+                jax.random.normal(kn, chain_img.shape, jnp.float32),
+            ).astype(chdtype)
+            sample = diffusion.halfway_sampling(model_fn, noised, midway_t, key, cond_p)
         elif inp_args.sampler == "full":
             sample = diffusion.p_sample_loop(model_fn, img.shape, key, cond_p)
         elif inp_args.sampler == "infilling":

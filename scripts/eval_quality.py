@@ -157,6 +157,16 @@ def eval_diffusion(args, rows, vars_codec):
                 sample = diffusion.halfway_sampling(
                     model_fn, chain_img.astype(chdtype), args.midway_t, key,
                     img.astype(chdtype))
+            elif args.sampler == "sdedit":
+                # noise-matched start: q_sample(chain_img, midway_t) so the
+                # reverse chain begins on the forward-process distribution
+                key, kn = jax.random.split(key)
+                tt = jnp.full((B,), args.midway_t, jnp.int32)
+                noised = diffusion.q_sample(
+                    chain_img, tt, jax.random.normal(kn, chain_img.shape))
+                sample = diffusion.halfway_sampling(
+                    model_fn, noised.astype(chdtype), args.midway_t, key,
+                    img.astype(chdtype))
             elif args.sampler == "ancestral":
                 # full conditional generation from noise — on-distribution at
                 # every step (diag_sampler2: beats the halfway chain)
@@ -209,7 +219,8 @@ def main():
     ap.add_argument("--seconds", type=float, default=2.4)
     ap.add_argument("--n_files", type=int, default=32)
     ap.add_argument("--midway_t", type=int, default=100)
-    ap.add_argument("--sampler", choices=["halfway", "ancestral", "ddim"],
+    ap.add_argument("--sampler",
+                    choices=["halfway", "sdedit", "ancestral", "ddim"],
                     default="halfway",
                     help="halfway = reference production chain from the "
                          "upsampled cond; ancestral/ddim = conditional "
