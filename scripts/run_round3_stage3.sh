@@ -12,7 +12,7 @@
 #        latent strictly worse (logs/diag_sampler*.txt).
 #   r4   adds --data_std 0.065: SNR-shifted schedule (gaussian.py
 #        make_schedule) so the effective SNR trajectory matches unit-std
-#        data. Also val every 25 steps (the val pass runs the neg_loss
+#        data. Also val every 100 steps (the val pass runs the neg_loss
 #        sampler, which dominated r3 wall time at --write_on_every 10).
 #
 # Chunked: each CHUNK-step segment resumes from model_latest with full
@@ -24,7 +24,7 @@ set -u
 cd "$(dirname "$0")/.."
 
 EXP=${EXP:-stage3_diff_r4}
-CHUNK=${CHUNK:-1500}
+CHUNK=${CHUNK:-3000}
 DEADLINE=${DEADLINE:?unix-seconds deadline; no new chunk starts after this}
 START=${START:-saved_models/stage2_ae/model_best}
 DATA_STD=${DATA_STD:-0.065}
@@ -37,7 +37,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   echo "=== chunk from $START at $(date -u) ===" >> "$LOG"
   timeout 5400 python -m ladiffcodec_tpu.train \
     --data_folder_path data_synth --seq_len_p_sec 1.2 --batch_size 32 \
-    --lr 1e-4 --grad_clip 1.0 --write_on_every 25 --steps_per_dispatch 5 \
+    --lr 1e-4 --grad_clip 1.0 --write_on_every 100 --steps_per_dispatch 5 \
     --model_type unet --run_diff --freeze_ed \
     --scaling_global --global_scale 1.3 --data_std "$DATA_STD" \
     --rep_dims 128 --emb_dims 128 --diff_dims 128 --enc_ratios 8 \
