@@ -144,7 +144,9 @@ def get_parser() -> argparse.ArgumentParser:
                              "(x_rep/global_scale); the diffusion schedule is "
                              "SNR-shifted by 1/data_std so a max-abs-normalized "
                              "latent with small RMS still sees a unit-std SNR "
-                             "trajectory (1.0 = reference schedule)")
+                             "trajectory (1.0 = reference schedule; 0 = "
+                             "auto-measure from the restored encoder on the "
+                             "first batch)")
     return parser
 
 
@@ -171,7 +173,9 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
         cond_pred_weight=getattr(inp_args, "cond_pred_weight", 0.0),
-        data_std=getattr(inp_args, "data_std", 1.0),
+        # 0 = auto-measure sentinel: build with the neutral schedule, the
+        # trainer clones the model with the measured value before stepping
+        data_std=getattr(inp_args, "data_std", 1.0) or 1.0,
     )
     if inp_args.train_time_diff:
         return DiffAudioTime(**common)
@@ -327,6 +331,28 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
                 state = state.replace(
                     quantizer=_rebuild_quantizer(raw["quantizer"]))
             print(f"partial finetune restore: {n}/{n_total} matching arrays loaded")
+
+    # --data_std 0 = auto: measure the scaled latent's per-element std with
+    # the (restored, frozen) encoder on one training batch and SNR-shift the
+    # schedule accordingly (see gaussian.make_schedule).  Runs after the
+    # finetune restore so the measurement uses the real stage-2 encoder, and
+    # re-persists config.json so sample/eval inherit the measured value.
+    if (inp_args.run_diff and not inp_args.train_time_diff
+            and getattr(inp_args, "data_std", 1.0) == 0.0):
+        first = jnp.asarray(next(iter(train_loader)))
+        rep = model.apply(
+            {"params": state.params, "quantizer": state.quantizer},
+            first, method="encode")
+        gs = inp_args.global_scale if inp_args.scaling_global else 1.0
+        inp_args.data_std = max(round(float(jnp.std(rep)) / gs, 6), 1e-4)
+        model = model.clone(data_std=inp_args.data_std)
+        print(f"auto-measured data_std = {inp_args.data_std} "
+              f"(latent std {float(jnp.std(rep)):.4f} / global_scale {gs})")
+        if inp_args.exp_name:
+            from .utils.checkpoint import save_run_config
+
+            save_run_config(vars(inp_args), inp_args.output_dir,
+                            inp_args.exp_name)
 
     # k-means codebook init on the first batch (reference: lazy init inside
     # the first forward, core_vq.py:139-150)

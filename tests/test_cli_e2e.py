@@ -85,7 +85,7 @@ def test_train_stage3_diffusion(corpus, tmp_path):
         "--model_for_cond", str(cond_dir),
         "--cond_enc_ratios", "8", "5", "4", "2", "--cond_quantization",
         "--cond_bandwidth", "1.5", "--upsampling_ratios", "5", "4", "2",
-        "--seq_length", "640", *TINY,
+        "--seq_length", "640", "--data_std", "0", *TINY,
     ])
 
 
