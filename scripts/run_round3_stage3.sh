@@ -24,16 +24,25 @@ set -u
 cd "$(dirname "$0")/.."
 
 EXP=${EXP:-stage3_diff_r4}
-CHUNK=${CHUNK:-3000}
+# NOTE: --steps counts EPOCHS (~30 optimizer steps each on data_synth at
+# batch 32); ~5.5 s/epoch + val every 100 -> 800 epochs ends cleanly inside
+# the 5400 s timeout with a final best-save, instead of dying mid-flight
+CHUNK=${CHUNK:-800}
 DEADLINE=${DEADLINE:?unix-seconds deadline; no new chunk starts after this}
 START=${START:-saved_models/stage2_ae/model_best}
 DATA_STD=${DATA_STD:-0.065}
 LOG=logs/${EXP}.txt
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
-  if [ -d "saved_models/$EXP/model_latest" ]; then
-    START="saved_models/$EXP/model_latest"
-  fi
+  # resume from the FRESHEST full-TrainState snapshot: the rolling
+  # model_latest (every 100 epochs) or the SIGTERM preempt save, whichever
+  # is newer — a timeout-killed chunk then costs ~0 epochs
+  for cand in model_latest model_preempt; do
+    d="saved_models/$EXP/$cand"
+    if [ -d "$d" ] && { [ ! -d "${START:-/nonexistent}" ] || [ "$d" -nt "$START" ]; }; then
+      START="$d"
+    fi
+  done
   echo "=== chunk from $START at $(date -u) ===" >> "$LOG"
   timeout 5400 python -m ladiffcodec_tpu.train \
     --data_folder_path data_synth --seq_len_p_sec 1.2 --batch_size 32 \
