@@ -44,17 +44,20 @@ def main():
     ap.add_argument("--n_files", type=int, default=8)
     ap.add_argument("--cond_bandwidth", type=float, default=1.5)
     ap.add_argument("--global_scale", type=float, default=None)
+    ap.add_argument("--data_std", type=float, default=None)
     ap.add_argument("--ae_ratios", nargs="+", type=int, default=[8])
     ap.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 4, 2])
     args = ap.parse_args()
 
-    if args.global_scale is None:
-        from ladiffcodec_tpu.utils.checkpoint import load_run_config
+    from ladiffcodec_tpu.utils.checkpoint import load_run_config
 
-        cfg = load_run_config(args.diff)
+    cfg = load_run_config(args.diff)
+    if args.global_scale is None:
         args.global_scale = float(cfg.get("global_scale", 18.0))
+    if args.data_std is None:
+        args.data_std = float(cfg.get("data_std", 1.0))
     gs = args.global_scale
-    print(f"global_scale = {gs}")
+    print(f"global_scale = {gs}   data_std = {args.data_std}")
 
     vars_diff = load_vars(args.diff)
     vars_codec = load_vars(args.codec)
@@ -62,7 +65,7 @@ def main():
     model = DiffAudioRep(
         rep_dims=128, diff_dims=128, n_filters=32, lstm=2,
         enc_ratios=tuple(args.ae_ratios), run_diff=True, model_type="unet",
-        scaling_global=True, global_scale=gs,
+        scaling_global=True, global_scale=gs, data_std=args.data_std,
         other_cond=True, cond_channels=128,
         upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True,
     )
