@@ -487,6 +487,7 @@ class DiffAudioTime(nn.Module):
     timesteps: int = 1000
     cond_pred_weight: float = 0.0  # accepted for CLI parity; unused here
     data_std: float = 1.0  # SNR-shift divisor, see DiffAudioRep.data_std
+    diff_objective: str = "pred_noise"
 
     def setup(self):
         if self.model_type == "unet":
@@ -530,6 +531,7 @@ class DiffAudioTime(nn.Module):
         return GaussianDiffusion1D(
             schedule=make_schedule(self.timesteps,
                                    snr_scale=1.0 / self.data_std),
+            objective=self.diff_objective,
             sampling_timesteps=self.sampling_timesteps,
             self_condition=self.self_condition,
         )

@@ -64,6 +64,9 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--data_std", type=float, default=1.0,
                         help="per-element std of the scaled latent; SNR-shifts "
                              "the schedule by 1/data_std (must match training)")
+    parser.add_argument("--diff_objective", type=str, default="pred_noise",
+                        choices=["pred_noise", "pred_x0", "pred_v"],
+                        help="diffusion parameterization (must match training)")
     parser.add_argument("--scaling_dim", action="store_true")
     parser.add_argument("--sampling_timesteps", type=int, default=1000)
     parser.add_argument("--use_film", action="store_true")
@@ -140,7 +143,8 @@ _CONFIG_KEYS = (
     "rep_dims", "emb_dims", "diff_dims", "n_filters", "lstm",
     "n_residual_layers", "enc_ratios", "quantization", "bandwidth",
     "run_diff", "run_vae", "model_type", "scaling_frame", "scaling_feature",
-    "scaling_global", "scaling_dim", "global_scale", "data_std", "use_film",
+    "scaling_global", "scaling_dim", "global_scale", "data_std",
+    "diff_objective", "use_film",
     "cond_global", "upsampling_ratios", "cond_enc_ratios", "cond_bandwidth",
     "unet_scale_cond", "unet_scale_x", "qtz_condition", "self_condition",
     "final_activation", "train_time_diff", "sample_rate",
@@ -204,6 +208,7 @@ def build_main_model(inp_args) -> DiffAudioRep:
         sampling_timesteps=inp_args.sampling_timesteps,
         attn_layout=getattr(inp_args, "attn_layout", "bthd"),
         data_std=getattr(inp_args, "data_std", 1.0),
+        diff_objective=getattr(inp_args, "diff_objective", "pred_noise"),
     )
     if inp_args.train_time_diff:
         return DiffAudioTime(**{k: v for k, v in kwargs.items() if k in DiffAudioTime.__dataclass_fields__})

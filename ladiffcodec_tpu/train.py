@@ -139,6 +139,17 @@ def get_parser() -> argparse.ArgumentParser:
                              "target latent, so the reference's halfway chain "
                              "start (sample.py:125-131) is on-distribution "
                              "(0 = reference-faithful diffusion loss only)")
+    parser.add_argument("--diff_objective", type=str, default="pred_noise",
+                        choices=["pred_noise", "pred_x0", "pred_v"],
+                        help="diffusion parameterization. pred_noise = "
+                             "reference-faithful eps-L1. For a STRONGLY "
+                             "conditioned de-quantizer, eps at low SNR is "
+                             "~the input noise, so the gradient that wires "
+                             "cond->x0 scales with sqrt(snr) and the cond "
+                             "pathway trains ~never at high t (measured: "
+                             "ancestral-from-noise lands 45 dB below the "
+                             "chain-start prediction); pred_v equals eps at "
+                             "high SNR and -x0 at low SNR, balancing both")
     parser.add_argument("--data_std", type=float, default=1.0,
                         help="per-element std of the scaled latent "
                              "(x_rep/global_scale); the diffusion schedule is "
@@ -173,6 +184,7 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
         cond_pred_weight=getattr(inp_args, "cond_pred_weight", 0.0),
+        diff_objective=getattr(inp_args, "diff_objective", "pred_noise"),
         # 0 = auto-measure sentinel: build with the neutral schedule, the
         # trainer clones the model with the measured value before stepping
         data_std=getattr(inp_args, "data_std", 1.0) or 1.0,

@@ -57,7 +57,9 @@ def main():
     if args.data_std is None:
         args.data_std = float(cfg.get("data_std", 1.0))
     gs = args.global_scale
-    print(f"global_scale = {gs}   data_std = {args.data_std}")
+    args.diff_objective = cfg.get("diff_objective", "pred_noise")
+    print(f"global_scale = {gs}   data_std = {args.data_std}   "
+          f"objective = {args.diff_objective}")
 
     vars_diff = load_vars(args.diff)
     vars_codec = load_vars(args.codec)
@@ -66,6 +68,7 @@ def main():
         rep_dims=128, diff_dims=128, n_filters=32, lstm=2,
         enc_ratios=tuple(args.ae_ratios), run_diff=True, model_type="unet",
         scaling_global=True, global_scale=gs, data_std=args.data_std,
+        diff_objective=args.diff_objective,
         other_cond=True, cond_channels=128,
         upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True,
     )
