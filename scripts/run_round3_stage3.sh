@@ -49,6 +49,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     --lr 1e-4 --grad_clip 1.0 --write_on_every 100 --steps_per_dispatch 5 \
     --model_type unet --run_diff --freeze_ed \
     --scaling_global --global_scale 1.3 --data_std "$DATA_STD" \
+    --diff_objective "${OBJ:-pred_noise}" \
     --rep_dims 128 --emb_dims 128 --diff_dims 128 --enc_ratios 8 \
     --unet_scale_cond --cond_pred_weight 0.5 \
     --model_for_cond "${COND:-saved_models/stage1_codec_nodisc_r3}" \
