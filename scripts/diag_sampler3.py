@@ -50,13 +50,16 @@ def main():
     ap.add_argument("--sdedit_ts", nargs="+", type=int, default=[25, 50, 100, 200, 400])
     args = ap.parse_args()
 
-    if args.global_scale is None:
-        from ladiffcodec_tpu.utils.checkpoint import load_run_config
+    from ladiffcodec_tpu.utils.checkpoint import load_run_config
 
-        cfg = load_run_config(args.diff)
+    cfg = load_run_config(args.diff)
+    if args.global_scale is None:
         args.global_scale = float(cfg.get("global_scale", 18.0))
     gs = args.global_scale
-    print(f"global_scale = {gs}")
+    args.data_std = float(cfg.get("data_std", 1.0))
+    args.diff_objective = cfg.get("diff_objective", "pred_noise")
+    print(f"global_scale = {gs}   data_std = {args.data_std}   "
+          f"objective = {args.diff_objective}")
 
     vars_diff = load_vars(args.diff)
     vars_codec = load_vars(args.codec)
@@ -64,7 +67,8 @@ def main():
     model = DiffAudioRep(
         rep_dims=128, diff_dims=128, n_filters=32, lstm=2,
         enc_ratios=tuple(args.ae_ratios), run_diff=True, model_type="unet",
-        scaling_global=True, global_scale=gs,
+        scaling_global=True, global_scale=gs, data_std=args.data_std,
+        diff_objective=args.diff_objective,
         other_cond=True, cond_channels=128,
         upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True,
     )
