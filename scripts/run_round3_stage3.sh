@@ -14,16 +14,26 @@
 #        make_schedule) so the effective SNR trajectory matches unit-std
 #        data. Also val every 100 steps (the val pass runs the neg_loss
 #        sampler, which dominated r3 wall time at --write_on_every 10).
+#   r5   pred_v under the SNR shift reduces to ~eps (alpha-bar'>0.5 until
+#        t~970) — abandoned after one chunk.
+#   r6   pred_x0 objective on top of the r4 weights: val one-step-x0 decode
+#        reached +18.6 dB SDR in one chunk.  Lost to a VM restart (every
+#        untracked orbax dir wiped).
+#   r7   r6 rerun from scratch: fresh diff params over the stage-2 AE,
+#        pred_x0 + data_std SNR shift, conditioned on the SURVIVING round-2
+#        codec (stage1_codec_nodisc; the r3 continuation weights were wiped).
+#        Durability: each chunk now exports a ~70 MB f16 params npz
+#        (scripts/ckpt_npz.py) and force-commits it, so a restart costs one
+#        chunk, not the run.
 #
 # Chunked: each CHUNK-step segment resumes from model_latest with full
 # TrainState (opt state included), so a VM restart costs at most one chunk.
-# The caller commits logs (and periodically the checkpoint) between chunks.
 #
 # Usage:  DEADLINE=$(date -d '+7 hours' +%s) bash scripts/run_round3_stage3.sh
 set -u
 cd "$(dirname "$0")/.."
 
-EXP=${EXP:-stage3_diff_r4}
+EXP=${EXP:-stage3_diff_r7}
 # NOTE: --steps counts EPOCHS (~30 optimizer steps each on data_synth at
 # batch 32); ~5.5 s/epoch + val every 100 -> 800 epochs ends cleanly inside
 # the 5400 s timeout with a final best-save, instead of dying mid-flight
@@ -49,17 +59,30 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     --lr 1e-4 --grad_clip 1.0 --write_on_every 100 --steps_per_dispatch 5 \
     --model_type unet --run_diff --freeze_ed \
     --scaling_global --global_scale 1.3 --data_std "$DATA_STD" \
-    --diff_objective "${OBJ:-pred_noise}" \
+    --diff_objective "${OBJ:-pred_x0}" \
     --rep_dims 128 --emb_dims 128 --diff_dims 128 --enc_ratios 8 \
     --unet_scale_cond --cond_pred_weight 0.5 \
-    --model_for_cond "${COND:-saved_models/stage1_codec_nodisc_r3}" \
+    --model_for_cond "${COND:-saved_models/stage1_codec_nodisc}" \
     --cond_enc_ratios 8 5 4 2 --cond_quantization --cond_bandwidth 1.5 \
     --upsampling_ratios 5 4 2 \
     --finetune_model "$START" \
     --exp_name "$EXP" --steps "$CHUNK" >> "$LOG" 2>&1
   rc=$?
   echo "=== chunk exit $rc at $(date -u) ===" >> "$LOG"
-  git add "$LOG" && git commit -q -m "stage-3 r4 training log checkpoint" || true
+  # Durable snapshot: f16 params-only npz (~70 MB) of the freshest state.
+  # Full orbax TrainStates (~376 MB) stay untracked per ADVICE r2; this npz
+  # is the restart insurance after the VM wipe that killed r3-r6.
+  snap=""
+  for cand in model_best model_latest model_preempt; do
+    d="saved_models/$EXP/$cand"
+    [ -d "$d" ] && { [ -z "$snap" ] || [ "$d" -nt "$snap" ]; } && snap="$d"
+  done
+  if [ -n "$snap" ]; then
+    python scripts/ckpt_npz.py export "$snap" "saved_models/$EXP/params_f16.npz" \
+      >> "$LOG" 2>&1 || true
+    git add -f "saved_models/$EXP/params_f16.npz" "saved_models/$EXP/config.json" 2>/dev/null || true
+  fi
+  git add "$LOG" && git commit -q -m "stage-3 $EXP training checkpoint (log + f16 params snapshot)" || true
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
     echo "chunk failed (rc=$rc), stopping" >> "$LOG"
     break
