@@ -91,6 +91,18 @@ def get_parser() -> argparse.ArgumentParser:
              "sample.py:98-105); infilling = reference sample.py:107-122",
     )
     parser.add_argument("--infill_lam", type=float, default=0.1)
+    parser.add_argument(
+        "--chain_start", type=str, default="cond",
+        choices=["cond", "reencode"],
+        help="halfway/sdedit chain start: 'cond' = the max-abs-normalized "
+             "upsampled condition (reference production, srcs/sample.py:125-"
+             "129); 'reencode' = decode the codec audio and re-encode it with "
+             "the frozen stage-2 encoder (bitstream-only information — the "
+             "codec decode IS available wherever the bitstream is).  The "
+             "re-encoded latent starts the chain ~45 dB closer to the target "
+             "than the upsampled cond (diag_sampler3), so low-t sdedit can "
+             "clean codec artifacts instead of regenerating from scratch",
+    )
     parser.add_argument("--compute_dtype", type=str, default="bfloat16",
                         choices=["bfloat16", "float32"],
                         help="activation dtype for the denoiser/decoder "
@@ -262,7 +274,17 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=
             )
             return out.astype(chdtype)
 
-        chain_img = (img * inp_args.img_scale).astype(chdtype)
+        if getattr(inp_args, "chain_start", "cond") == "reencode":
+            # bitstream-only chain start: codec decode -> frozen stage-2
+            # encode -> /global_scale puts the start on the scaled-latent
+            # distribution the denoiser trained on (diag_sampler3)
+            codec_wav = cond_model.apply(cond_vars, cond, method="decode")
+            start = model.apply(variables, codec_wav.astype(cdtype), method="encode")
+            gs = inp_args.global_scale if inp_args.scaling_global else 1.0
+            start = start.astype(jnp.float32) / gs
+            chain_img = (start * inp_args.img_scale).astype(chdtype)
+        else:
+            chain_img = (img * inp_args.img_scale).astype(chdtype)
         cond_p = cond_p.astype(chdtype)
         if inp_args.sampler == "ddim":
             sample = diffusion.ddim_from(

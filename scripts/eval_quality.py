@@ -145,7 +145,14 @@ def eval_diffusion(args, rows, vars_codec):
             rep = model.apply(vd, xx, method="encode") / args.global_scale
             lat_scale = jnp.mean(
                 jnp.max(jnp.abs(rep.reshape(B, -1)), axis=1))
-            chain_img = img * lat_scale
+            if args.chain_start == "reencode":
+                # bitstream-only start: codec decode -> frozen stage-2 encode
+                # (diag_sampler3; available at the decoder from the bitstream)
+                codec_wav = cond_model.apply(vc, cond, method="decode")
+                chain_img = model.apply(
+                    vd, codec_wav, method="encode") / args.global_scale
+            else:
+                chain_img = img * lat_scale
 
             def model_fn(z, t, c):
                 out = model.apply(vd, z.astype(chdtype), t, c.astype(chdtype),
@@ -200,9 +207,12 @@ def eval_diffusion(args, rows, vars_codec):
         est_aligned = est * gain
         label = {
             "halfway": f"{args.midway_t}-step halfway",
+            "sdedit": f"{args.midway_t}-step sdedit",
             "ancestral": "1000-step ancestral from noise",
             "ddim": f"{args.midway_t}-step DDIM from noise",
         }[args.sampler]
+        if args.chain_start == "reencode" and args.sampler in ("halfway", "sdedit"):
+            label += ", reencode start"
         rows.append((
             f"diffusion de-qtz @{bw} kbps ({label})",
             si_snr(ref, est),
@@ -225,6 +235,11 @@ def main():
                     help="halfway = reference production chain from the "
                          "upsampled cond; ancestral/ddim = conditional "
                          "generation from noise (ddim uses midway_t steps)")
+    ap.add_argument("--chain_start", choices=["cond", "reencode"],
+                    default="cond",
+                    help="halfway/sdedit start: upsampled cond (reference) or "
+                         "re-encoded codec audio (bitstream-only, much closer "
+                         "to the target latent)")
     ap.add_argument("--cond_bandwidth", type=float, default=1.5)
     ap.add_argument("--global_scale", type=float, default=None,
                     help="default: the value persisted in the diff "
