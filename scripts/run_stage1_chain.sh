@@ -2,9 +2,12 @@
 # Chunked stage-1 nodisc continuation (VERDICT r2 item 4: keep the codec
 # quality curve moving toward positive SI-SNR @3 kbps).
 #
-# Resumes the round-3 codec (saved_models/stage1_codec_nodisc_r3, -1.17 dB
-# SI-SNR / 1.24 mel after ~37k steps) into a NEW exp dir — the _r3 dir is
-# the round-3/r4 stage-3 run's frozen conditioning codec and must not move.
+# HISTORY: the round-3 continuation (stage1_codec_nodisc_r3, -1.17 dB
+# SI-SNR / 1.24 mel after ~37k steps — BASELINE.md) was WIPED by the VM
+# restart along with every untracked checkpoint; its results survive in
+# logs/stage1_codec_nodisc_r3.txt.  Chains now resume from the surviving
+# round-2 codec (stage1_codec_nodisc, git-tracked).  Export + commit an f16
+# npz between chunks like run_round3_stage3.sh if you restart this.
 #
 # Usage:  DEADLINE=$(date -d '+2 hours' +%s) bash scripts/run_stage1_chain.sh
 set -u
@@ -13,7 +16,7 @@ cd "$(dirname "$0")/.."
 EXP=${EXP:-stage1_codec_nodisc_r4}
 CHUNK=${CHUNK:-1200}
 DEADLINE=${DEADLINE:?unix-seconds deadline; no new chunk starts after this}
-START=${START:-saved_models/stage1_codec_nodisc_r3/model_best}
+START=${START:-saved_models/stage1_codec_nodisc/model_best}
 LOG=logs/${EXP}.txt
 
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
@@ -32,7 +35,16 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     --exp_name "$EXP" --steps "$CHUNK" >> "$LOG" 2>&1
   rc=$?
   echo "=== chunk exit $rc at $(date -u) ===" >> "$LOG"
-  git add "$LOG" && git commit -q -m "stage-1 r4 training log checkpoint" || true
+  snap=""
+  for cand in model_best model_latest model_preempt; do
+    d="saved_models/$EXP/$cand"
+    [ -d "$d" ] && { [ -z "$snap" ] || [ "$d" -nt "$snap" ]; } && snap="$d"
+  done
+  if [ -n "$snap" ]; then
+    python scripts/ckpt_npz.py export "$snap" "saved_models/$EXP/params_f16.npz" >> "$LOG" 2>&1 || true
+    git add -f "saved_models/$EXP/params_f16.npz" "saved_models/$EXP/config.json" 2>/dev/null || true
+  fi
+  git add "$LOG" && git commit -q -m "stage-1 $EXP training checkpoint (log + f16 params snapshot)" || true
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
     echo "chunk failed (rc=$rc), stopping" >> "$LOG"
     break
