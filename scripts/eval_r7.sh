@@ -1,0 +1,34 @@
+#!/bin/bash
+# One-shot r7 stage-3 quality evaluation (fills BASELINE.md "Round-3
+# stage-3 quality (r7)").  Run AFTER stopping the training runner — both
+# jobs dispatch through the single axon tunnel and would thrash.
+#
+# Usage:  DIFF=saved_models/stage3_diff_r7/model_best bash scripts/eval_r7.sh
+set -u
+cd "$(dirname "$0")/.."
+
+DIFF=${DIFF:-saved_models/stage3_diff_r7/model_best}
+CODEC=${CODEC:-saved_models/stage1_codec_nodisc/model_best}
+LOG=${LOG:-logs/eval_r7.txt}
+
+{
+  echo "=== eval_r7 at $(date -u) on $DIFF ==="
+
+  echo "--- diag_sampler3: re-encoded chain start, sdedit sweep ---"
+  python scripts/diag_sampler3.py --diff "$DIFF" --codec "$CODEC" \
+    --sdedit_ts 10 25 50 100 200
+
+  echo "--- diag_sampler4: halfway midway_t sweep + direct cond_pred decode ---"
+  python scripts/diag_sampler4.py --diff "$DIFF" --codec "$CODEC"
+
+  echo "--- eval_quality (1.2 s protocol = training length, 32 files) ---"
+  for S in "halfway cond 100" "sdedit reencode 50" "sdedit reencode 100"; do
+    set -- $S
+    python scripts/eval_quality.py --codec "$CODEC" \
+      --ae saved_models/stage2_ae/model_best --diff "$DIFF" \
+      --seconds 1.2 --n_files 32 --chain_dtype bfloat16 \
+      --sampler "$1" --chain_start "$2" --midway_t "$3" \
+      --ae_ratios 8 --upsampling_ratios 5 4 2
+  done
+} >> "$LOG" 2>&1
+echo "done -> $LOG"
