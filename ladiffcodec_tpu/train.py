@@ -334,9 +334,21 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
             if n == 0:
                 raise ValueError(
                     f"no overlapping params in {inp_args.finetune_model}")
-            if n < n_total // 4:
+            # Only warn when some top-level module was matched PARTIALLY.
+            # All-or-nothing per module (e.g. stage-2 AE -> stage-3: full
+            # encoder+decoder load, diff_model stays fresh) is the intended
+            # cross-stage path, not a wrong-checkpoint symptom (ADVICE r3).
+            src = raw.get("params", {})
+            ragged = []
+            for top, sub in state.params.items():
+                want = len(jax.tree_util.tree_leaves(sub))
+                _, got = merge_matching(sub, src.get(top, {}))
+                if 0 < got < want:
+                    ragged.append(f"{top} {got}/{want}")
+            if ragged:
                 print(f"WARNING: partial restore matched only {n}/{n_total} "
-                      f"arrays — check that {inp_args.finetune_model} is the "
+                      f"arrays, with incomplete modules ({', '.join(ragged)}) "
+                      f"— check that {inp_args.finetune_model} is the "
                       f"intended stage checkpoint")
             state = state.replace(params=merged)
             if raw.get("quantizer") and state.quantizer:

@@ -13,6 +13,13 @@ LOG=${LOG:-logs/eval_r7.txt}
 
 {
   echo "=== eval_r7 at $(date -u) on $DIFF ==="
+  # Checkpoint flavor (ADVICE r3 #4): f16-npz-restored weights differ from
+  # the live orbax model_best by ~1e-3 relative; label which one these
+  # numbers come from.
+  case "$DIFF" in
+    *model_import*) echo "checkpoint flavor: f16-npz import (not bit-identical to orbax model_best)" ;;
+    *) echo "checkpoint flavor: live orbax ($DIFF)" ;;
+  esac
 
   echo "--- diag_sampler3: re-encoded chain start, sdedit sweep ---"
   python scripts/diag_sampler3.py --diff "$DIFF" --codec "$CODEC" \

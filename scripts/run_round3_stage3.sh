@@ -43,6 +43,17 @@ START=${START:-saved_models/stage2_ae/model_best}
 DATA_STD=${DATA_STD:-0.065}
 LOG=logs/${EXP}.txt
 
+# Disaster path (ADVICE r3 #2): no live orbax checkpoint but a committed
+# f16 npz survives (post-VM-wipe clone) -> rebuild an orbax dir from the
+# npz and resume from it instead of silently restarting from stage-2.
+if [ ! -d "saved_models/$EXP/model_latest" ] && [ ! -d "saved_models/$EXP/model_preempt" ] \
+   && [ -f "saved_models/$EXP/params_f16.npz" ]; then
+  echo "=== no orbax checkpoint; importing committed params_f16.npz ===" >> "$LOG"
+  python scripts/ckpt_npz.py import "saved_models/$EXP/params_f16.npz" \
+    "saved_models/$EXP/model_import" >> "$LOG" 2>&1 \
+    && START="saved_models/$EXP/model_import"
+fi
+
 while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   # resume from the FRESHEST full-TrainState snapshot: the rolling
   # model_latest (every 100 epochs) or the SIGTERM preempt save, whichever
@@ -82,7 +93,16 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
       >> "$LOG" 2>&1 || true
     git add -f "saved_models/$EXP/params_f16.npz" "saved_models/$EXP/config.json" 2>/dev/null || true
   fi
-  git add "$LOG" && git commit -q -m "stage-3 $EXP training checkpoint (log + f16 params snapshot)" || true
+  # Rolling snapshot commit (ADVICE r3 #1): compressed npz blobs don't
+  # delta, so amend the previous chunk's snapshot commit instead of adding
+  # ~65 MB of history per chunk — history keeps only the latest blob.
+  MSG="stage-3 $EXP training checkpoint (log + f16 params snapshot)"
+  git add "$LOG"
+  if [ "$(git log -1 --pretty=%s)" = "$MSG" ]; then
+    git commit -q --amend -m "$MSG" || true
+  else
+    git commit -q -m "$MSG" || true
+  fi
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
     echo "chunk failed (rc=$rc), stopping" >> "$LOG"
     break
