@@ -226,7 +226,10 @@ def main():
     ap.add_argument("--ae", default="")
     ap.add_argument("--diff", default="")
     ap.add_argument("--data", default="data_synth")
-    ap.add_argument("--seconds", type=float, default=2.4)
+    # 1.2 s = the UNet's training clip length.  The old 2.4 s default
+    # evaluated stage-3 at twice the only length it ever trained on
+    # (round-3 protocol-mismatch finding; VERDICT r3 weak #6) — retired.
+    ap.add_argument("--seconds", type=float, default=1.2)
     ap.add_argument("--n_files", type=int, default=32)
     ap.add_argument("--midway_t", type=int, default=100)
     ap.add_argument("--sampler",

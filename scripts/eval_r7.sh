@@ -38,4 +38,28 @@ LOG=${LOG:-logs/eval_r7.txt}
       --ae_ratios 8 --upsampling_ratios 5 4 2
   done
 } >> "$LOG" 2>&1
+
+# Flagship pass/fail (VERDICT r3 item 6): the paper's claim is that the
+# diffusion de-quantizer IMPROVES the discrete codec it decodes
+# (arXiv 2311.08330; srcs/sample.py:130).  PASS iff some sampler config's
+# mel distance beats the codec's own decode at the same bitrate.
+python - "$LOG" <<'EOF'
+import re, sys
+codec, diff = None, []
+for line in open(sys.argv[1]):
+    m = re.match(r"codec @1\.5 kbps\s+(-?[\d.]+)\s+([\d.]+)", line)
+    if m:
+        codec = (float(m.group(1)), float(m.group(2)))
+    m = re.match(r"diffusion de-qtz @1\.5 kbps \((.+?)\)\s+(-?[\d.]+)\s+([\d.]+)", line)
+    if m:
+        diff.append((m.group(1), float(m.group(2)), float(m.group(3))))
+if codec is None or not diff:
+    print("FLAGSHIP: INCOMPLETE (missing codec or diffusion rows in log)")
+    sys.exit(0)
+best = min(diff, key=lambda r: r[2])
+verdict = "PASS" if best[2] < codec[1] else "FAIL"
+print(f"FLAGSHIP {verdict}: best diffusion mel {best[2]:.3f} ({best[0]}) "
+      f"vs codec @1.5 mel {codec[1]:.3f} "
+      f"(SI-SNR {best[1]:.2f} vs {codec[0]:.2f} dB)")
+EOF
 echo "done -> $LOG"

@@ -44,7 +44,15 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     python scripts/ckpt_npz.py export "$snap" "saved_models/$EXP/params_f16.npz" >> "$LOG" 2>&1 || true
     git add -f "saved_models/$EXP/params_f16.npz" "saved_models/$EXP/config.json" 2>/dev/null || true
   fi
-  git add "$LOG" && git commit -q -m "stage-1 $EXP training checkpoint (log + f16 params snapshot)" || true
+  # Rolling snapshot commit (ADVICE r3 #1): amend the previous chunk's
+  # snapshot commit instead of adding a full npz blob per chunk.
+  MSG="stage-1 $EXP training checkpoint (log + f16 params snapshot)"
+  git add "$LOG"
+  if [ "$(git log -1 --pretty=%s)" = "$MSG" ]; then
+    git commit -q --amend -m "$MSG" || true
+  else
+    git commit -q -m "$MSG" || true
+  fi
   if [ "$rc" -ne 0 ] && [ "$rc" -ne 124 ]; then
     echo "chunk failed (rc=$rc), stopping" >> "$LOG"
     break
