@@ -23,13 +23,14 @@ LOG=${LOG:-logs/eval_r7.txt}
 
   echo "--- diag_sampler3: re-encoded chain start, sdedit sweep ---"
   python scripts/diag_sampler3.py --diff "$DIFF" --codec "$CODEC" \
-    --sdedit_ts 10 25 50 100 200
+    --sdedit_ts 10 25 50 100 200 400
 
   echo "--- diag_sampler4: halfway midway_t sweep + direct cond_pred decode ---"
   python scripts/diag_sampler4.py --diff "$DIFF" --codec "$CODEC"
 
   echo "--- eval_quality (1.2 s protocol = training length, 32 files) ---"
-  for S in "halfway cond 100" "sdedit reencode 50" "sdedit reencode 100"; do
+  for S in "halfway cond 100" "sdedit reencode 10" "sdedit reencode 25" \
+           "sdedit reencode 50" "sdedit reencode 100"; do
     set -- $S
     python scripts/eval_quality.py --codec "$CODEC" \
       --ae saved_models/stage2_ae/model_best --diff "$DIFF" \
