@@ -174,6 +174,22 @@ def eval_diffusion(args, rows, vars_codec):
                 sample = diffusion.halfway_sampling(
                     model_fn, noised.astype(chdtype), args.midway_t, key,
                     img.astype(chdtype))
+            elif args.sampler in ("onestep", "ddim_deq"):
+                # deterministic dequantization (diag_sampler5): the chain
+                # start IS x_t — its only "noise" is the codec error, which
+                # crosses the SNR-shifted schedule's noise_std near t~160
+                # for the r7 stack — so no fresh noise is injected and
+                # nothing is stochastically regenerated.
+                ab = diffusion.schedule.alphas_cumprod
+                x_t = (jnp.sqrt(ab[args.midway_t]) * chain_img).astype(chdtype)
+                if args.sampler == "onestep":
+                    tb = jnp.full((B,), args.midway_t, jnp.int32)
+                    sample = diffusion.model_predictions(
+                        model_fn, x_t, tb, img.astype(chdtype)).pred_x_start
+                else:
+                    sample = diffusion.ddim_from(
+                        model_fn, x_t, args.midway_t, args.ddim_steps, key,
+                        img.astype(chdtype))
             elif args.sampler == "ancestral":
                 # full conditional generation from noise — on-distribution at
                 # every step (diag_sampler2: beats the halfway chain)
@@ -210,8 +226,11 @@ def eval_diffusion(args, rows, vars_codec):
             "sdedit": f"{args.midway_t}-step sdedit",
             "ancestral": "1000-step ancestral from noise",
             "ddim": f"{args.midway_t}-step DDIM from noise",
+            "onestep": f"onestep-x0 @t={args.midway_t}",
+            "ddim_deq": f"ddim-deq t={args.midway_t} x{args.ddim_steps}",
         }[args.sampler]
-        if args.chain_start == "reencode" and args.sampler in ("halfway", "sdedit"):
+        if args.chain_start == "reencode" and args.sampler in (
+                "halfway", "sdedit", "onestep", "ddim_deq"):
             label += ", reencode start"
         rows.append((
             f"diffusion de-qtz @{bw} kbps ({label})",
@@ -233,11 +252,19 @@ def main():
     ap.add_argument("--n_files", type=int, default=32)
     ap.add_argument("--midway_t", type=int, default=100)
     ap.add_argument("--sampler",
-                    choices=["halfway", "sdedit", "ancestral", "ddim"],
+                    choices=["halfway", "sdedit", "ancestral", "ddim",
+                             "onestep", "ddim_deq"],
                     default="halfway",
                     help="halfway = reference production chain from the "
                          "upsampled cond; ancestral/ddim = conditional "
-                         "generation from noise (ddim uses midway_t steps)")
+                         "generation from noise (ddim uses midway_t steps); "
+                         "onestep/ddim_deq = DETERMINISTIC dequantization "
+                         "from the chain start treated as x_t at midway_t "
+                         "(onestep: single x0 prediction; ddim_deq: eta=0 "
+                         "ddim_from over the last midway_t levels in "
+                         "--ddim_steps calls)")
+    ap.add_argument("--ddim_steps", type=int, default=8,
+                    help="model calls for --sampler ddim_deq")
     ap.add_argument("--chain_start", choices=["cond", "reencode"],
                     default="cond",
                     help="halfway/sdedit start: upsampled cond (reference) or "

@@ -28,9 +28,13 @@ LOG=${LOG:-logs/eval_r7.txt}
   echo "--- diag_sampler4: halfway midway_t sweep + direct cond_pred decode ---"
   python scripts/diag_sampler4.py --diff "$DIFF" --codec "$CODEC"
 
+  echo "--- diag_sampler5: deterministic dequantization (one-step x0 + eta=0 ddim_from) ---"
+  python scripts/diag_sampler5.py --diff "$DIFF" --codec "$CODEC"
+
   echo "--- eval_quality (1.2 s protocol = training length, 32 files) ---"
   for S in "halfway cond 100" "sdedit reencode 10" "sdedit reencode 25" \
-           "sdedit reencode 50" "sdedit reencode 100"; do
+           "sdedit reencode 50" "sdedit reencode 100" \
+           "onestep reencode 160" "ddim_deq reencode 200"; do
     set -- $S
     python scripts/eval_quality.py --codec "$CODEC" \
       --ae saved_models/stage2_ae/model_best --diff "$DIFF" \
