@@ -83,12 +83,19 @@ def get_parser() -> argparse.ArgumentParser:
     parser.add_argument("--midway_t", type=int, default=100)
     parser.add_argument(
         "--sampler", type=str, default="halfway",
-        choices=["halfway", "sdedit", "ddim", "full", "infilling"],
+        choices=["halfway", "sdedit", "ddim", "full", "infilling",
+                 "onestep", "ddim_deq"],
         help="halfway = reference production path (sample.py:130); sdedit = "
              "halfway with the chain start q_sample-noised to midway_t "
              "(on-distribution start); ddim = truncated fast path; full = "
              "ancestral from noise (reference's commented-out alternative, "
-             "sample.py:98-105); infilling = reference sample.py:107-122",
+             "sample.py:98-105); infilling = reference sample.py:107-122; "
+             "onestep/ddim_deq = DETERMINISTIC dequantization — the chain "
+             "start is treated as x_t at midway_t (its only 'noise' is the "
+             "codec error), so no fresh noise is injected: onestep = single "
+             "x0 prediction, ddim_deq = eta=0 ddim_from over the last "
+             "midway_t levels in --sampling_timesteps calls (diag_sampler5; "
+             "pairs naturally with --chain_start reencode)",
     )
     parser.add_argument("--infill_lam", type=float, default=0.1)
     parser.add_argument(
@@ -301,6 +308,22 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=
                 jax.random.normal(kn, chain_img.shape, jnp.float32),
             ).astype(chdtype)
             sample = diffusion.halfway_sampling(model_fn, noised, midway_t, key, cond_p)
+        elif inp_args.sampler in ("onestep", "ddim_deq"):
+            # deterministic dequantization (diag_sampler5 / eval_quality):
+            # feed sqrt(alpha_bar[t]) * chain_img as x_t — no noise added,
+            # nothing stochastically regenerated; the model projects the
+            # codec error off the latent as if it were forward noise
+            ab = diffusion.schedule.alphas_cumprod
+            x_t = (jnp.sqrt(ab[midway_t]) * chain_img.astype(jnp.float32)
+                   ).astype(chdtype)
+            if inp_args.sampler == "onestep":
+                tt = jnp.full((B,), midway_t, jnp.int32)
+                sample = diffusion.model_predictions(
+                    model_fn, x_t, tt, cond_p).pred_x_start
+            else:
+                sample = diffusion.ddim_from(
+                    model_fn, x_t, midway_t, inp_args.sampling_timesteps,
+                    key, cond_p)
         elif inp_args.sampler == "full":
             sample = diffusion.p_sample_loop(model_fn, img.shape, key, cond_p)
         elif inp_args.sampler == "infilling":
