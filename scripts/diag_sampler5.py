@@ -106,6 +106,17 @@ def main():
         out["start_enc"] = start_enc
         out["dec_codec"] = codec_audio
 
+        # error-fusion start: the re-encoded latent (-11.7 dB, on-manifold)
+        # and the trained cond_pred latent (process_cond, -12.0 dB, L2 blur)
+        # have partially independent errors; their mean should sit several
+        # dB closer to rep than either (still bitstream-only information)
+        cond_lat = model.apply(
+            vd, cond, method=lambda m, c: m.diff_model.process_cond(c))
+        out["cond_lat"] = cond_lat
+        fuse = 0.5 * (start_enc + cond_lat)
+        out["fuse"] = fuse
+        out["dec_fuse"] = model.apply(vd, fuse * gs, method="decode")
+
         def model_fn(z, t, c):
             return model.apply(vd, z, t, c, True, method="diff_model_fn")
 
@@ -124,8 +135,20 @@ def main():
             out[f"ddim_{t}_{s}"] = diffusion.ddim_from(
                 model_fn, jnp.sqrt(ab[t]) * start_enc, t, s, sub, img)
 
+        # same two deterministic chains from the fused start
+        for t in (100, 160, 200):
+            tb = jnp.full((B,), t, jnp.int32)
+            preds = diffusion.model_predictions(
+                model_fn, jnp.sqrt(ab[t]) * fuse, tb, img)
+            out[f"fuse_onestep_{t}"] = preds.pred_x_start
+        key, sub = jax.random.split(key)
+        out["fuse_ddim_200_4"] = diffusion.ddim_from(
+            model_fn, jnp.sqrt(ab[200]) * fuse, 200, 4, sub, img)
+
         names = ([f"onestep_{t}" for t in args.onestep_ts]
-                 + [f"ddim_{t}_{s}" for t, s in ddim_cfgs])
+                 + [f"ddim_{t}_{s}" for t, s in ddim_cfgs]
+                 + [f"fuse_onestep_{t}" for t in (100, 160, 200)]
+                 + ["fuse_ddim_200_4"])
         for name in names:
             out["dec_" + name] = model.apply(vd, out[name] * gs, method="decode")
         out["dec_start_enc"] = model.apply(vd, start_enc * gs, method="decode")
@@ -136,6 +159,8 @@ def main():
     xw = np.asarray(x)[..., 0]
 
     print(f"\nstart_enc latent SI-SNR vs rep: {lat_sisnr(rep, out['start_enc']):.2f} dB")
+    print(f"cond_lat  latent SI-SNR vs rep: {lat_sisnr(rep, out['cond_lat']):.2f} dB")
+    print(f"fuse      latent SI-SNR vs rep: {lat_sisnr(rep, out['fuse']):.2f} dB")
 
     def rms_align(ref, est):
         r = np.sqrt((ref**2).sum(-1, keepdims=True))
@@ -143,9 +168,11 @@ def main():
         return est * (r / e)
 
     print(f"\n{'variant':<16} {'latent SI-SNR':>14} {'wav SI-SNR':>11} {'mel':>8} {'mel(rms-al)':>12}")
-    names = (["dec_codec", "dec_start_enc"]
+    names = (["dec_codec", "dec_start_enc", "dec_fuse"]
              + [f"dec_onestep_{t}" for t in args.onestep_ts]
-             + [f"dec_ddim_{t}_{s}" for t, s in ddim_cfgs])
+             + [f"dec_ddim_{t}_{s}" for t, s in ddim_cfgs]
+             + [f"dec_fuse_onestep_{t}" for t in (100, 160, 200)]
+             + ["dec_fuse_ddim_200_4"])
     for name in names:
         lat_name = name[4:]
         lat = (lat_sisnr(rep, out[lat_name])
