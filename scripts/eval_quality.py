@@ -208,6 +208,20 @@ def eval_diffusion(args, rows, vars_codec):
             return model.apply(vd, sample * args.global_scale, method="decode")
 
         x_hat = np.asarray(decode(vars_diff, vars_codec, x, jax.random.PRNGKey(0)))
+        if args.time_decode:
+            # matched-cost RTF: time the jitted decode AFTER the compile
+            # above; median of 3 runs, audio-seconds / wall-second
+            import time as _time
+            ts = []
+            for _ in range(3):
+                t0 = _time.perf_counter()
+                jax.block_until_ready(
+                    decode(vars_diff, vars_codec, x, jax.random.PRNGKey(0)))
+                ts.append(_time.perf_counter() - t0)
+            audio_s = x.shape[0] * x.shape[1] / 16000.0
+            print(f"decode RTF ({args.sampler}, midway_t={args.midway_t}): "
+                  f"{audio_s / sorted(ts)[1]:.1f}x real-time "
+                  f"({audio_s:.1f} audio-s / {sorted(ts)[1]*1e3:.0f} ms)")
         # per-example ENERGY (RMS) alignment like the reference sampler output
         # normalization (srcs/sample.py:131-134); SI-SNR is scale-invariant,
         # mel distance is not, so align first.  NOTE: round-2 used the
@@ -265,6 +279,9 @@ def main():
                          "--ddim_steps calls)")
     ap.add_argument("--ddim_steps", type=int, default=8,
                     help="model calls for --sampler ddim_deq")
+    ap.add_argument("--time_decode", action="store_true",
+                    help="also print the post-compile decode RTF (median of "
+                         "3) for the matched-cost sampler table")
     ap.add_argument("--chain_start", choices=["cond", "reencode"],
                     default="cond",
                     help="halfway/sdedit start: upsampled cond (reference) or "

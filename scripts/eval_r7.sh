@@ -40,7 +40,7 @@ LOG=${LOG:-logs/eval_r7.txt}
       --ae saved_models/stage2_ae/model_best --diff "$DIFF" \
       --seconds 1.2 --n_files 32 --chain_dtype bfloat16 \
       --sampler "$1" --chain_start "$2" --midway_t "$3" \
-      --ae_ratios 8 --upsampling_ratios 5 4 2
+      --ae_ratios 8 --upsampling_ratios 5 4 2 --time_decode
   done
 } >> "$LOG" 2>&1
 
