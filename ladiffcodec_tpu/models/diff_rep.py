@@ -36,7 +36,7 @@ from ..quantization.core import (
     rvq_decode,
 )
 from ..diffusion.gaussian import GaussianDiffusion1D, make_schedule
-from ..losses.losses_fn import sdr_loss, prior_loss_fn
+from ..losses.losses_fn import sdr_loss, prior_loss_fn, melspec_loss_fn
 
 GLOBAL_SCALE = 18.0  # the reference's hardcoded global latent normalizer
 # (model.py:166,236).  18.0 implicitly assumes the encoder's latents have
@@ -119,6 +119,24 @@ class DiffAudioRep(nn.Module):
     # chain start (gradient reaches only the cond upsampler; the diffusion
     # loss is unchanged).
     cond_pred_weight: float = 0.0
+    # Dequantization-operating-point auxiliary loss (round 4).  The
+    # deterministic dequantization samplers (sample.py onestep/ddim_deq;
+    # the capability of srcs/sample.py:130) feed the denoiser x_t =
+    # sqrt(ab_t) * z_codec where z_codec is the RE-ENCODED codec decode —
+    # i.e. the "noise" at inference is the CODEC ERROR, while the diffusion
+    # objective above only ever trains on Gaussian noise.  deq_weight > 0
+    # closes that train/test mismatch: an extra model call is made at
+    # x_td = sqrt(ab_td) * stop_grad(z_codec_scaled), td ~ U[deq_t_lo,
+    # deq_t_hi) (the codec-error-matched t for the r7 stack is ~160), with
+    # L1(pred_x0, stop_grad(x_rep_s)) added to the target.  deq_mel_weight
+    # > 0 additionally decodes pred_x0 through the (frozen) hop-8 decoder
+    # and adds a multi-scale log-mel term — training the exact metric the
+    # de-quantizer is judged on.  The plain diffusion loss is unchanged;
+    # this is a supervised artifact-removal head on the same weights.
+    deq_weight: float = 0.0
+    deq_mel_weight: float = 0.0
+    deq_t_lo: int = 50
+    deq_t_hi: int = 300
 
     @property
     def hop_length(self) -> int:
@@ -337,6 +355,7 @@ class DiffAudioRep(nn.Module):
         cond: tp.Optional[jnp.ndarray] = None,
         training: bool = False,
         axis_name: tp.Optional[str] = None,
+        deq_wav: tp.Optional[jnp.ndarray] = None,
     ):
         """Returns (losses: dict, aux: dict).  losses is insertion-ordered:
         first = optimizer target, last = model-selection metric."""
@@ -390,6 +409,7 @@ class DiffAudioRep(nn.Module):
             diffusion = self.diffusion
             model_fn = lambda xx, tt, cc: self.diff_model_fn(xx, tt, cc)
             cond_pred_loss = None
+            deq_loss = deq_mel_loss = None
             if cond is not None:
                 diff_loss, pred_x_start, x_t, t_out = diffusion(
                     model_fn, jax.lax.stop_gradient(x_rep_s), key_d, cond=cond, t=t
@@ -399,6 +419,32 @@ class DiffAudioRep(nn.Module):
                     cond_pred_loss = jnp.mean(
                         jnp.abs(cond_up - jax.lax.stop_gradient(x_rep_s))
                     )
+                if self.deq_weight and deq_wav is not None:
+                    # train the DETERMINISTIC dequantization operating point:
+                    # x_td is the onestep/ddim_deq chain start (codec error
+                    # as the "noise"), target = the clean scaled latent
+                    z = self.encoder(deq_wav)
+                    z_s, _ = self.scaling(z, global_max=self.global_scale)
+                    z_s = jax.lax.stop_gradient(z_s)
+                    key_td = jax.random.fold_in(key_d, 7)
+                    td = jax.random.randint(
+                        key_td, (z_s.shape[0],), self.deq_t_lo, self.deq_t_hi
+                    )
+                    ab = self.diffusion.schedule.alphas_cumprod
+                    x_td = jnp.sqrt(ab)[td][:, None, None].astype(z_s.dtype) * z_s
+                    deq_preds = diffusion.model_predictions(model_fn, x_td, td, cond)
+                    deq_loss = jnp.mean(
+                        jnp.abs(deq_preds.pred_x_start - jax.lax.stop_gradient(x_rep_s))
+                    )
+                    if self.deq_mel_weight:
+                        in_dec_deq = (
+                            deq_preds.pred_x_start * scale
+                            if scale is not None
+                            else deq_preds.pred_x_start
+                        )
+                        deq_mel_loss = melspec_loss_fn(
+                            x, self.decoder(in_dec_deq), range(5, 12)
+                        )
             elif self.qtz_condition:
                 diff_loss, pred_x_start, x_t, t_out = diffusion(
                     model_fn, x_rep_s, key_d, cond=x_rep_qtz, t=t
@@ -415,6 +461,24 @@ class DiffAudioRep(nn.Module):
                 x_rep_qtz=x_rep_qtz,
                 scale=scale,
             )
+            def _tot(base):
+                tot = base
+                extras = {}
+                if cond_pred_loss is not None:
+                    tot = tot + self.cond_pred_weight * cond_pred_loss
+                    extras["cond_pred"] = cond_pred_loss
+                if deq_loss is not None:
+                    # NOTE: new keys must sort alphabetically BEFORE
+                    # "tot_loss" — the jit boundary rebuilds the dict in
+                    # sorted key order and model selection reads the last
+                    # value (train.py best-loss loop).
+                    tot = tot + self.deq_weight * deq_loss
+                    extras["deq"] = deq_loss
+                if deq_mel_loss is not None:
+                    tot = tot + self.deq_mel_weight * deq_mel_loss
+                    extras["deq_mel"] = deq_mel_loss
+                return tot, extras
+
             if training:
                 # skip the decoder readout inside the optimizer step: the
                 # hop-8 decoder's 2-layer LSTM scans T_latent recurrent steps
@@ -423,23 +487,20 @@ class DiffAudioRep(nn.Module):
                 # measured ~3x of the whole stage-3 step cost on the v5e.
                 # neg_loss stays in the (training=False) eval pass, which is
                 # where the selection metric is read.
-                if cond_pred_loss is not None:
-                    tot = diff_loss + self.cond_pred_weight * cond_pred_loss
-                    return {
-                        "tot_loss": tot,
-                        "diff_loss": diff_loss,
-                        "cond_pred": cond_pred_loss,
-                    }, aux
+                tot, extras = _tot(diff_loss)
+                if extras:
+                    return {"tot_loss": tot, "diff_loss": diff_loss, **extras}, aux
                 return {"diff_loss": diff_loss}, aux
             in_dec = pred_x_start * scale if scale is not None else pred_x_start
             x_hat = self.decoder(in_dec)
             neg_loss = jnp.mean(sdr_loss(x, x_hat))
+            tot, extras = _tot(diff_loss)
             losses = {"diff_loss": diff_loss, "neg_loss": neg_loss}
-            if cond_pred_loss is not None:
+            if extras:
                 losses = {
-                    "tot_loss": diff_loss + self.cond_pred_weight * cond_pred_loss,
+                    "tot_loss": tot,
                     "diff_loss": diff_loss,
-                    "cond_pred": cond_pred_loss,
+                    **extras,
                     "neg_loss": neg_loss,
                 }
             aux["x_hat"] = x_hat
@@ -486,6 +547,10 @@ class DiffAudioTime(nn.Module):
     sampling_timesteps: tp.Optional[int] = None
     timesteps: int = 1000
     cond_pred_weight: float = 0.0  # accepted for CLI parity; unused here
+    deq_weight: float = 0.0  # accepted for CLI parity; unused here
+    deq_mel_weight: float = 0.0
+    deq_t_lo: int = 50
+    deq_t_hi: int = 300
     data_std: float = 1.0  # SNR-shift divisor, see DiffAudioRep.data_std
     diff_objective: str = "pred_noise"
 
@@ -536,7 +601,8 @@ class DiffAudioTime(nn.Module):
             self_condition=self.self_condition,
         )
 
-    def __call__(self, x, key=None, t=None, cond=None, training: bool = False):
+    def __call__(self, x, key=None, t=None, cond=None, training: bool = False,
+                 deq_wav=None):
         if key is None:
             key = jax.random.PRNGKey(0)
         model_fn = lambda xx, tt, cc: self.diff_model(xx, tt, cc)

@@ -150,6 +150,26 @@ def get_parser() -> argparse.ArgumentParser:
                              "ancestral-from-noise lands 45 dB below the "
                              "chain-start prediction); pred_v equals eps at "
                              "high SNR and -x0 at low SNR, balancing both")
+    parser.add_argument("--deq_weight", type=float, default=0.0,
+                        help="aux loss at the DETERMINISTIC dequantization "
+                             "operating point: one extra model call per step "
+                             "at x_td = sqrt(ab_td) * re-encoded codec latent "
+                             "(the onestep/ddim_deq chain start; the 'noise' "
+                             "is the codec error, which the Gaussian diffusion "
+                             "objective never shows the model), with "
+                             "L1(pred_x0, clean latent) added to the target "
+                             "(0 = reference-faithful diffusion loss only)")
+    parser.add_argument("--deq_mel_weight", type=float, default=0.0,
+                        help="with --deq_weight: also decode the dequant "
+                             "pred_x0 through the frozen decoder and add "
+                             "w * multi-scale log-mel vs the input — trains "
+                             "the metric the de-quantizer is judged on "
+                             "(costs a decoder fwd+bwd per step)")
+    parser.add_argument("--deq_t_lo", type=int, default=50,
+                        help="dequant aux: td ~ U[lo, hi); the codec-error-"
+                             "matched t is where sqrt(1-ab_t)/sqrt(ab_t) "
+                             "crosses the latent-domain codec-error RMS")
+    parser.add_argument("--deq_t_hi", type=int, default=300)
     parser.add_argument("--data_std", type=float, default=1.0,
                         help="per-element std of the scaled latent "
                              "(x_rep/global_scale); the diffusion schedule is "
@@ -184,6 +204,10 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         unet_scale_x=inp_args.unet_scale_x,
         unet_scale_cond=inp_args.unet_scale_cond,
         cond_pred_weight=getattr(inp_args, "cond_pred_weight", 0.0),
+        deq_weight=getattr(inp_args, "deq_weight", 0.0),
+        deq_mel_weight=getattr(inp_args, "deq_mel_weight", 0.0),
+        deq_t_lo=getattr(inp_args, "deq_t_lo", 50),
+        deq_t_hi=getattr(inp_args, "deq_t_hi", 300),
         diff_objective=getattr(inp_args, "diff_objective", "pred_noise"),
         # 0 = auto-measure sentinel: build with the neutral schedule, the
         # trainer clones the model with the measured value before stepping
@@ -430,15 +454,18 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
 
     def eval_losses(state, batch, key):
         cond = None
+        deq_wav = None
         if cond_model is not None:
             cond = cond_model.apply(cond_vars, batch, method="get_cond")
+            if getattr(model, "deq_weight", 0.0):
+                deq_wav = cond_model.apply(cond_vars, cond, method="decode")
         variables = (
             {"params": state.params, "quantizer": state.quantizer}
             if state.quantizer
             else {"params": state.params}
         )
         (losses, _), _ = model.apply(variables, batch, key=key, cond=cond, training=False,
-                                     mutable=["quantizer"])
+                                     deq_wav=deq_wav, mutable=["quantizer"])
         return losses
 
     eval_step = jax.jit(eval_losses)

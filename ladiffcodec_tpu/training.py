@@ -81,7 +81,7 @@ def make_train_step(
     Returns step(state, batch, key) -> (state, metrics dict).
     """
 
-    def loss_fn(params, quantizer, x, key, cond):
+    def loss_fn(params, quantizer, x, key, cond, deq_wav):
         variables = {"params": params, "quantizer": quantizer} if quantizer else {"params": params}
         out, updates = model.apply(
             variables,
@@ -90,6 +90,7 @@ def make_train_step(
             cond=cond,
             training=True,
             axis_name=axis_name,
+            deq_wav=deq_wav,
             mutable=["quantizer"],
         )
         losses, aux = out
@@ -102,10 +103,17 @@ def make_train_step(
 
     def step(state: TrainState, batch: jnp.ndarray, key: jax.Array):
         cond = None
+        deq_wav = None
         if cond_model is not None:
             cond = cond_model.apply(cond_variables, batch, method="get_cond")
+            if getattr(model, "deq_weight", 0.0):
+                # the dequantization operating point's chain start: the
+                # codec's decoded waveform (re-encoded inside the model)
+                deq_wav = jax.lax.stop_gradient(
+                    cond_model.apply(cond_variables, cond, method="decode")
+                )
         (_, (losses, new_q)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, state.quantizer, batch, key, cond
+            state.params, state.quantizer, batch, key, cond, deq_wav
         )
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

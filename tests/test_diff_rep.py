@@ -125,6 +125,64 @@ def test_cond_pred_aux_loss():
     assert list(losses0.keys()) == ["diff_loss"]
 
 
+def test_deq_aux_loss():
+    """deq_weight trains the deterministic dequantization operating point:
+    an extra model call at x_td = sqrt(ab_td) * re-encoded codec latent with
+    L1(pred_x0, clean latent), plus an optional decoded-mel term.  tot_loss
+    composes all weighted terms; gradient reaches the UNet; deq_wav=None
+    degrades gracefully to the deq-free dict."""
+    kw = dict(
+        enc_ratios=(8,),
+        run_diff=True,
+        model_type="unet",
+        scaling_global=True,
+        other_cond=True,
+        cond_channels=16,
+        upsampling_ratios=(4,),
+        unet_scale_cond=True,
+        cond_pred_weight=0.5,
+        **SMALL,
+    )
+    m = DiffAudioRep(deq_weight=1.0, deq_mel_weight=0.01, deq_t_lo=50,
+                     deq_t_hi=300, **kw)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 256, 1)) * 0.1
+    deq_wav = x + jax.random.normal(jax.random.PRNGKey(4), x.shape) * 0.01
+    cond = jax.random.normal(jax.random.PRNGKey(2), (1, 8, 16))
+    v = m.init(jax.random.PRNGKey(0), x, cond=cond)
+    losses, _ = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond,
+                        training=True, deq_wav=deq_wav)
+    assert sorted(losses.keys()) == [
+        "cond_pred", "deq", "deq_mel", "diff_loss", "tot_loss"]
+    np.testing.assert_allclose(
+        float(losses["tot_loss"]),
+        float(losses["diff_loss"]) + 0.5 * float(losses["cond_pred"])
+        + 1.0 * float(losses["deq"]) + 0.01 * float(losses["deq_mel"]),
+        rtol=1e-5,
+    )
+    # eval path carries the same terms plus the decoder readout, and the
+    # selection metric (last sorted key) stays tot_loss
+    losses_ev, _ = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond,
+                           deq_wav=deq_wav)
+    assert sorted(losses_ev.keys())[-1] == "tot_loss"
+    assert "deq" in losses_ev and "neg_loss" in losses_ev
+    # the deq L1 gradient reaches the denoiser (through model_predictions)
+    g = jax.grad(
+        lambda p: m.apply({**v, "params": p}, x, key=jax.random.PRNGKey(3),
+                          cond=cond, training=True, deq_wav=deq_wav)[0]["deq"]
+    )(v["params"])
+    flat = jax.tree_util.tree_flatten_with_path(g)[0]
+    unet_nz = sum(
+        float(jnp.sum(jnp.abs(leaf)))
+        for path, leaf in flat
+        if "diff_model" in jax.tree_util.keystr(path)
+    )
+    assert unet_nz > 0
+    # no deq_wav -> the deq terms vanish (e.g. the plain eval CLIs)
+    losses_no, _ = m.apply(v, x, key=jax.random.PRNGKey(3), cond=cond,
+                           training=True)
+    assert sorted(losses_no.keys()) == ["cond_pred", "diff_loss", "tot_loss"]
+
+
 def test_get_cond_stop_gradient():
     m = DiffAudioRep(enc_ratios=(8, 5, 4, 2), quantization=True, bandwidth=1.5,
                      rvq_kmeans_init=False, **SMALL)

@@ -42,11 +42,15 @@ def test_stage1_checkpoint_feeds_stage3(corpus, tmp_path, monkeypatch):
 
     assert os.path.isdir(os.path.join(out, "codec15", "model_best"))
 
-    # stage 3: diffusion conditioned on the stage-1 checkpoint
+    # stage 3: diffusion conditioned on the stage-1 checkpoint, with the
+    # round-4 dequantization aux losses on (the r8 production recipe:
+    # the codec decode is re-encoded inside the loss — this exercises the
+    # cond_model.decode hookup in train.py/training.py end-to-end)
     main([
         "--data_folder_path", corpus, "--seq_len_p_sec", "0.32",
         "--enc_ratios", "8", "--run_diff", "--model_type", "unet",
         "--scaling_global", "--unet_scale_cond", "--freeze_ed",
+        "--deq_weight", "1.0", "--deq_mel_weight", "0.01",
         "--model_for_cond", os.path.join(out, "codec15"),
         "--cond_enc_ratios", "8", "5", "4", "2", "--cond_quantization",
         "--cond_bandwidth", "1.5", "--upsampling_ratios", "5", "4", "2",
