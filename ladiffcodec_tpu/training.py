@@ -47,14 +47,23 @@ def make_optimizer(lr: float, freeze_ed: bool = False,
     if grad_clip and grad_clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
     if freeze_ed:
-        def mask(params):
+        # NOT optax.masked: masked passes the RAW gradient through as the
+        # update for frozen leaves, so apply_updates does params += grad on
+        # them. Harmless while frozen-param grads were exactly zero (r7
+        # skipped the decoder readout in training), but any loss that
+        # backprops through the frozen decoder (deq_mel_weight) destroyed
+        # the decoder in one step -> instant NaN (stage3_diff_r8 step-0
+        # failure). multi_transform + set_to_zero pins frozen updates to 0.
+        def label(params):
             return jax.tree_util.tree_map_with_path(
-                lambda path, _: any(
+                lambda path, _: "train" if any(
                     getattr(k, "key", None) == "diff_model" for k in path
-                ),
+                ) else "freeze",
                 params,
             )
-        tx = optax.masked(tx, mask)
+        tx = optax.multi_transform(
+            {"train": tx, "freeze": optax.set_to_zero()}, label
+        )
     return tx
 
 

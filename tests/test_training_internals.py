@@ -36,6 +36,25 @@ def test_freeze_ed_only_updates_diff_model():
     assert maxdiff(state.params["decoder"], state2.params["decoder"]) == 0
 
 
+def test_freeze_ed_zero_update_under_nonzero_frozen_grads():
+    """optax.masked passes raw grads through as updates for frozen leaves
+    (params += grad!), which destroyed the frozen decoder the moment a loss
+    (deq_mel_weight) backpropagated through it — the stage3_diff_r8 step-0
+    NaN. make_optimizer must pin frozen updates to exactly zero."""
+    params = {"diff_model": {"w": jnp.zeros(3)},
+              "decoder": {"w": jnp.zeros(3)},
+              "encoder": {"w": jnp.zeros(3)}}
+    grads = {"diff_model": {"w": jnp.ones(3)},
+             "decoder": {"w": 7.0 * jnp.ones(3)},
+             "encoder": {"w": -3.0 * jnp.ones(3)}}
+    opt = make_optimizer(1e-2, freeze_ed=True, grad_clip=1.0)
+    st = opt.init(params)
+    upd, _ = opt.update(grads, st, params)
+    assert float(jnp.max(jnp.abs(upd["decoder"]["w"]))) == 0.0
+    assert float(jnp.max(jnp.abs(upd["encoder"]["w"]))) == 0.0
+    assert float(jnp.max(jnp.abs(upd["diff_model"]["w"]))) > 0.0
+
+
 def test_ema_in_train_step():
     m = DiffAudioRep(enc_ratios=(8, 4), rep_dims=8, n_filters=4, lstm=0)
     x = jax.random.normal(jax.random.PRNGKey(0), (1, 64, 1)) * 0.1
