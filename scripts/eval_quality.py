@@ -115,7 +115,7 @@ def eval_diffusion(args, rows, vars_codec):
         rep_dims=128, diff_dims=128, n_filters=32, lstm=2,
         enc_ratios=tuple(args.ae_ratios), run_diff=True, model_type="unet",
         scaling_global=True, global_scale=args.global_scale,
-        data_std=args.data_std,
+        data_std=args.data_std, diff_objective=args.diff_objective,
         other_cond=True, cond_channels=128,
         upsampling_ratios=tuple(args.upsampling_ratios), unet_scale_cond=True,
     )
@@ -294,13 +294,21 @@ def main():
     ap.add_argument("--data_std", type=float, default=None,
                     help="SNR-shift divisor (must match training); default: "
                          "the diff checkpoint's config.json, else 1.0")
+    ap.add_argument("--diff_objective", default=None,
+                    help="model output parameterization (must match "
+                         "training); default: the diff checkpoint's "
+                         "config.json, else pred_noise.  Round-4 bugfix: "
+                         "this was silently pred_noise while r6+ checkpoints "
+                         "train pred_x0, which made model_predictions "
+                         "misread the network output and tanked every "
+                         "eval_quality diffusion row")
     ap.add_argument("--chain_dtype", choices=["float32", "bfloat16"],
                     default="float32", help="denoise-chain carry dtype")
     ap.add_argument("--ae_ratios", nargs="+", type=int, default=[8, 4])
     ap.add_argument("--upsampling_ratios", nargs="+", type=int, default=[5, 2])
     args = ap.parse_args()
 
-    if args.global_scale is None or args.data_std is None:
+    if args.global_scale is None or args.data_std is None or args.diff_objective is None:
         from ladiffcodec_tpu.utils.checkpoint import load_run_config
 
         cfg = load_run_config(args.diff) if args.diff else {}
@@ -308,9 +316,12 @@ def main():
             args.global_scale = float(cfg.get("global_scale", 18.0))
         if args.data_std is None:
             args.data_std = float(cfg.get("data_std", 1.0))
+        if args.diff_objective is None:
+            args.diff_objective = cfg.get("diff_objective", "pred_noise")
         if args.diff:
             print(f"global_scale = {args.global_scale}  data_std = "
-                  f"{args.data_std} ({'config.json' if cfg else 'reference default'})")
+                  f"{args.data_std}  objective = {args.diff_objective} "
+                  f"({'config.json' if cfg else 'reference default'})")
 
     rows = []
     vars_codec = None
