@@ -9,10 +9,15 @@ waveform.  Weights are randomly initialized (the reference repo publishes no
 benchmark numbers to compare quality against — BASELINE.md); throughput is
 architecture + compiler bound, not weight bound.
 
-Two modes (--mode):
+Three modes (--mode):
   ddim50      50-step truncated DDIM (headline; default)
   halfway100  100 ancestral halfway steps — the reference's EXACT production
               sampler (srcs/sample.py:130, ddpm_loss.py:370-385)
+  onestep     the round-4 production de-quantization default (BASELINE.md
+              round-4 section): codec decode -> hop-8 re-encode ->
+              deterministic one-step-x0 projection at t=160 -> decode.
+              One UNet call instead of 50/100 — the fastest AND
+              best-measured-quality chain on r8 weights.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is RTF / 100 (the >=100x real-time north star from
@@ -37,7 +42,8 @@ def main() -> None:
 
     setup_compile_cache()
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["ddim50", "halfway100"], default="ddim50")
+    ap.add_argument("--mode", choices=["ddim50", "halfway100", "onestep"],
+                    default="ddim50")
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--param_dtype", choices=["float32", "bfloat16"], default="float32",
                     help="bfloat16 halves weight HBM reads in the denoise scan")
@@ -47,7 +53,12 @@ def main() -> None:
                     help="dtype of the denoise-scan carry + posterior math "
                          "(bf16 is the recorded headline config; sampler math "
                          "is parity-tested at both dtypes)")
+    ap.add_argument("--lower_only", action="store_true",
+                    help="trace+lower the decode graph and exit (CPU-safe "
+                         "smoke test; no backend compile, no measurement)")
     args = ap.parse_args()
+    if args.lower_only:
+        jax.config.update("jax_platforms", "cpu")
 
     from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
 
@@ -120,11 +131,28 @@ def main() -> None:
         img = img.astype(chdtype)
         if args.mode == "halfway100":
             sample = diffusion.halfway_sampling(model_fn, img, 100, key, img)
+        elif args.mode == "onestep":
+            # production dequant chain (sample.py --sampler onestep
+            # --chain_start reencode --midway_t 160): codec decode ->
+            # frozen hop-8 re-encode -> /global_scale -> deterministic
+            # one-step x0 projection at the codec-error-matched t
+            codec_wav = cond_model.apply(cond_vars, c, method="decode")
+            start = model.apply(variables, codec_wav.astype(dtype), method="encode")
+            start = start.astype(jnp.float32) / model.global_scale
+            x_t = (jnp.sqrt(diffusion.schedule.alphas_cumprod[160])
+                   * start).astype(chdtype)
+            tt = jnp.full((B,), 160, jnp.int32)
+            sample = diffusion.model_predictions(model_fn, x_t, tt, img).pred_x_start
         else:
             sample = diffusion.ddim_from(model_fn, img, 100, STEPS, key, img)
         return model.apply(variables, sample.astype(dtype), method="decode")
 
     key = jax.random.PRNGKey(0)
+    if args.lower_only:
+        decode.lower(variables, cond_vars, x, key)
+        print(json.dumps({"metric": f"lower_only({args.mode})", "value": 1,
+                          "unit": "ok", "vs_baseline": 0}))
+        return
     # compile
     y = decode(variables, cond_vars, x, key)
     jax.block_until_ready(y)
@@ -139,11 +167,11 @@ def main() -> None:
 
     audio_seconds = BATCH * SECONDS * iters
     rtf = audio_seconds / dt
-    desc = (
-        "100-step ancestral halfway decode (reference production sampler)"
-        if args.mode == "halfway100"
-        else "50-step DDIM decode"
-    )
+    desc = {
+        "halfway100": "100-step ancestral halfway decode (reference production sampler)",
+        "onestep": "one-step-x0 dequant decode (round-4 production default)",
+        "ddim50": "50-step DDIM decode",
+    }[args.mode]
     print(json.dumps({
         "metric": f"audio-sec/sec/chip (RTF), encode + {desc} @1.5kbps",
         "value": round(rtf, 2),
