@@ -137,6 +137,10 @@ class DiffAudioRep(nn.Module):
     deq_mel_weight: float = 0.0
     deq_t_lo: int = 50
     deq_t_hi: int = 300
+    # capability flag the trainer checks before paying the per-step codec
+    # decode for deq_wav (DiffAudioTime accepts the flags but has no deq
+    # loss — ADVICE r4)
+    supports_deq: tp.ClassVar[bool] = True
 
     @property
     def hop_length(self) -> int:
@@ -548,6 +552,7 @@ class DiffAudioTime(nn.Module):
     timesteps: int = 1000
     cond_pred_weight: float = 0.0  # accepted for CLI parity; unused here
     deq_weight: float = 0.0  # accepted for CLI parity; unused here
+    supports_deq: tp.ClassVar[bool] = False  # no deq loss on the time model
     deq_mel_weight: float = 0.0
     deq_t_lo: int = 50
     deq_t_hi: int = 300

@@ -321,8 +321,12 @@ def make_decode_fn(model, variables, cond_model, cond_vars, inp_args, normalize=
                 sample = diffusion.model_predictions(
                     model_fn, x_t, tt, cond_p).pred_x_start
             else:
+                # x_t is constructed at noise level midway_t; ddim_from makes
+                # its first model call at t = t_start - 1, so pass
+                # midway_t + 1 to keep the told-t equal to the built-t
+                # (ADVICE r4: one-level mismatch otherwise)
                 sample = diffusion.ddim_from(
-                    model_fn, x_t, midway_t, inp_args.sampling_timesteps,
+                    model_fn, x_t, midway_t + 1, inp_args.sampling_timesteps,
                     key, cond_p)
         elif inp_args.sampler == "full":
             sample = diffusion.p_sample_loop(model_fn, img.shape, key, cond_p)
@@ -451,6 +455,23 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     parser = get_parser()
     inp_args = parser.parse_args(argv)
     apply_run_config(inp_args, parser, argv)
+    if inp_args.sampler in ("onestep", "ddim_deq"):
+        import sys
+
+        raw = list(sys.argv[1:]) if argv is None else list(argv)
+        explicit = any(a.split("=")[0] == "--chain_start" for a in raw)
+        if not explicit and inp_args.chain_start == "cond":
+            # the deq operating point is trained/evaluated on the re-encoded
+            # scaled latent; the flat max-abs-normalized cond prediction is
+            # off that distribution (ADVICE r4) — default to reencode
+            inp_args.chain_start = "reencode"
+            print("[sampler] onestep/ddim_deq: chain_start defaulted to "
+                  "'reencode' (pass --chain_start cond to override)")
+        elif inp_args.chain_start == "cond":
+            print("[sampler] WARNING: onestep/ddim_deq with chain_start="
+                  "cond feeds a max-abs-normalized cond prediction as x_t, "
+                  "off the scaled-latent distribution the deq operating "
+                  "point is trained on; expect degraded output")
     synthesis(inp_args)
 
 

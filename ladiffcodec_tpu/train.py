@@ -214,6 +214,13 @@ def build_model(inp_args, other_cond: bool) -> tp.Union[DiffAudioRep, DiffAudioT
         data_std=getattr(inp_args, "data_std", 1.0) or 1.0,
     )
     if inp_args.train_time_diff:
+        if common.get("deq_weight") or common.get("deq_mel_weight"):
+            # ADVICE r4: DiffAudioTime accepts the flags for CLI parity but
+            # has no deq loss; without this the user pays a per-step codec
+            # decode for nothing
+            print("WARNING: --deq_weight/--deq_mel_weight have no effect "
+                  "with --train_time_diff (DiffAudioTime has no "
+                  "dequantization loss); skipping the per-step deq decode")
         return DiffAudioTime(**common)
     return DiffAudioRep(
         norm="weight_norm",
@@ -457,7 +464,8 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
         deq_wav = None
         if cond_model is not None:
             cond = cond_model.apply(cond_vars, batch, method="get_cond")
-            if getattr(model, "deq_weight", 0.0):
+            if getattr(model, "deq_weight", 0.0) and getattr(
+                    model, "supports_deq", False):
                 deq_wav = cond_model.apply(cond_vars, cond, method="decode")
         variables = (
             {"params": state.params, "quantizer": state.quantizer}

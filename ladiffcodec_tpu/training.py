@@ -115,7 +115,8 @@ def make_train_step(
         deq_wav = None
         if cond_model is not None:
             cond = cond_model.apply(cond_variables, batch, method="get_cond")
-            if getattr(model, "deq_weight", 0.0):
+            if getattr(model, "deq_weight", 0.0) and getattr(
+                    model, "supports_deq", False):
                 # the dequantization operating point's chain start: the
                 # codec's decoded waveform (re-encoded inside the model)
                 deq_wav = jax.lax.stop_gradient(

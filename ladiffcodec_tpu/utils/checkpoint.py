@@ -81,6 +81,30 @@ def load_checkpoint(state_template, output_dir: str, exp_name: str, note: str = 
     return ckptr.restore(path, state_template)
 
 
+def _npz_fallback(path: Path):
+    """Durable-snapshot fallback (ADVICE r4): orbax array data under
+    saved_models/*/model_*/d is gitignored (hundreds of MB per TrainState),
+    so a fresh clone holds manifest-only skeletons orbax cannot restore.
+    Training milestones export a committed f16 `params_f16.npz` next to the
+    checkpoint dir (scripts/ckpt_npz.py); load that instead when present."""
+    npz = path.parent / "params_f16.npz"
+    if not npz.is_file():
+        return None
+    with np.load(npz) as z:
+        flat = {k: (z[k].astype(np.float32) if z[k].dtype == np.float16
+                    else z[k]) for k in z.files}
+    root: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        d = root
+        for p in parts[:-1]:
+            d = d.setdefault(p, {})
+        d[parts[-1]] = v
+    print(f"[checkpoint] orbax restore of {path} failed; loaded committed "
+          f"f16 snapshot {npz} (params-only, not bit-identical)")
+    return root
+
+
 def load_checkpoint_path(state_template, path: tp.Union[str, Path]):
     path = Path(path).resolve()
     if state_template is not None:
@@ -91,12 +115,19 @@ def load_checkpoint_path(state_template, path: tp.Union[str, Path]):
     # demand TPU devices when loaded under CPU (tests, converters, eval on
     # another host).  numpy leaves are device-free and get placed on first
     # use.
-    ckptr = ocp.PyTreeCheckpointer()
-    meta = ckptr.metadata(path).item_metadata
-    restore_args = jax.tree_util.tree_map(
-        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
-    )
-    return ckptr.restore(path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+    try:
+        ckptr = ocp.PyTreeCheckpointer()
+        meta = ckptr.metadata(path).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), meta.tree
+        )
+        return ckptr.restore(
+            path, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+    except Exception:
+        fallback = _npz_fallback(path)
+        if fallback is None:
+            raise
+        return fallback
 
 
 def load_model_variables(variables_template, path: tp.Union[str, Path]):

@@ -29,6 +29,7 @@ from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
 from ladiffcodec_tpu.data.librispeech import DatasetLibri
 from ladiffcodec_tpu.utils.checkpoint import load_checkpoint_path
 from ladiffcodec_tpu.losses.losses_fn import melspec_loss_fn
+from ladiffcodec_tpu.losses.stoi import stoi_batch
 from ladiffcodec_tpu.quantization.core import RVQState
 
 
@@ -88,6 +89,7 @@ def eval_codec(args, rows):
             f"codec @{bw} kbps",
             si_snr(np.asarray(x)[..., 0], x_hat[..., 0]),
             mel_l1(x, aux["x_hat"]),
+            stoi_batch(np.asarray(x)[..., 0], x_hat[..., 0]),
         ))
     return vars_codec
 
@@ -105,6 +107,7 @@ def eval_ae(args, rows):
         "continuous AE",
         si_snr(np.asarray(x)[..., 0], x_hat[..., 0]),
         mel_l1(x, aux["x_hat"]),
+        stoi_batch(np.asarray(x)[..., 0], x_hat[..., 0]),
     ))
     return vars_ae
 
@@ -187,9 +190,12 @@ def eval_diffusion(args, rows, vars_codec):
                     sample = diffusion.model_predictions(
                         model_fn, x_t, tb, img.astype(chdtype)).pred_x_start
                 else:
+                    # x_t is at noise level midway_t and ddim_from's first
+                    # model call is at t_start - 1 -> pass midway_t + 1
+                    # (ADVICE r4 off-by-one fix; same in sample.py)
                     sample = diffusion.ddim_from(
-                        model_fn, x_t, args.midway_t, args.ddim_steps, key,
-                        img.astype(chdtype))
+                        model_fn, x_t, args.midway_t + 1, args.ddim_steps,
+                        key, img.astype(chdtype))
             elif args.sampler == "ancestral":
                 # full conditional generation from noise — on-distribution at
                 # every step (diag_sampler2: beats the halfway chain)
@@ -250,6 +256,7 @@ def eval_diffusion(args, rows, vars_codec):
             f"diffusion de-qtz @{bw} kbps ({label})",
             si_snr(ref, est),
             mel_l1(x, jnp.asarray(est_aligned)[..., None]),
+            stoi_batch(ref, est),
         ))
 
 
@@ -333,9 +340,9 @@ def main():
         assert vars_codec is not None, "--diff needs --codec for conditioning"
         eval_diffusion(args, rows, vars_codec)
 
-    print(f"\n{'config':<48} {'SI-SNR dB':>10} {'mel L1+L2':>10}")
-    for name, snr, mel in rows:
-        print(f"{name:<48} {snr:>10.2f} {mel:>10.3f}")
+    print(f"\n{'config':<48} {'SI-SNR dB':>10} {'mel L1+L2':>10} {'STOI':>6}")
+    for name, snr, mel, st in rows:
+        print(f"{name:<48} {snr:>10.2f} {mel:>10.3f} {st:>6.3f}")
 
 
 if __name__ == "__main__":

@@ -87,3 +87,29 @@ def test_evaluation_cli(tmp_path):
         EncodecModel.__init__ = orig_init
     outs = os.listdir(tmp_path / "eval")
     assert "0_ref.wav" in outs and "0_rec.wav" in outs
+
+
+def test_npz_fallback_on_skeleton_checkpoint(tmp_path):
+    """ADVICE r4 (medium): a fresh clone holds manifest-only orbax skeletons
+    (the d/ array data is gitignored); load_checkpoint_path must fall back to
+    the committed f16 snapshot params_f16.npz next to the checkpoint dir."""
+    import numpy as np
+    import pytest
+    from ladiffcodec_tpu.utils.checkpoint import load_checkpoint_path
+
+    exp = tmp_path / "exp"
+    ckpt = exp / "model_best"
+    ckpt.mkdir(parents=True)
+    (ckpt / "_CHECKPOINT_METADATA").write_text("{}")  # skeleton, no data
+
+    with pytest.raises(Exception):
+        load_checkpoint_path(None, ckpt)
+
+    w = np.arange(6, dtype=np.float32).reshape(2, 3)
+    np.savez_compressed(
+        exp / "params_f16.npz",
+        **{"params/dense/kernel": w.astype(np.float16),
+           "step": np.asarray(7)})
+    raw = load_checkpoint_path(None, ckpt)
+    assert raw["params"]["dense"]["kernel"].dtype == np.float32
+    np.testing.assert_allclose(raw["params"]["dense"]["kernel"], w)
