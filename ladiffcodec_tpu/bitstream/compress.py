@@ -200,8 +200,12 @@ def decompress_from_file(
     lm=None,
     lm_vars=None,
     lm_device: str = "auto",
+    return_frames: bool = False,
 ) -> tp.Tuple[np.ndarray, int]:
-    """Returns (wav (channels, L), sample_rate).  Reference compress.py:92-156."""
+    """Returns (wav (channels, L), sample_rate) — or (wav, sr, frames) with
+    `return_frames` (the exact decoded code frames, for consumers that decode
+    past the codec: the diffusion de-quantizer conditions on the RVQ latent
+    of these codes, scripts/demo_e2e.py).  Reference compress.py:92-156."""
     metadata = binary.read_ecdc_header(fo)
     model_name, audio_length = metadata["m"], metadata["al"]
     num_codebooks, use_lm = metadata["nc"], metadata["lm"]
@@ -277,7 +281,10 @@ def decompress_from_file(
         frames.append((frame, scale))
 
     wav = model.decode(variables, frames)  # (1, L, C)
-    return np.moveaxis(wav[0], -1, 0)[:, :audio_length], model.sample_rate
+    out = np.moveaxis(wav[0], -1, 0)[:, :audio_length]
+    if return_frames:
+        return out, model.sample_rate, frames
+    return out, model.sample_rate
 
 
 def compress(model, variables, wav, use_lm: bool = False, lm=None, lm_vars=None,
@@ -289,7 +296,8 @@ def compress(model, variables, wav, use_lm: bool = False, lm=None, lm_vars=None,
 
 
 def decompress(compressed: bytes, variables=None, model=None, lm=None, lm_vars=None,
-               lm_device: str = "auto"):
+               lm_device: str = "auto", return_frames: bool = False):
     fo = io.BytesIO(compressed)
     return decompress_from_file(fo, variables=variables, model=model, lm=lm,
-                                lm_vars=lm_vars, lm_device=lm_device)
+                                lm_vars=lm_vars, lm_device=lm_device,
+                                return_frames=return_frames)
