@@ -53,6 +53,13 @@ def main() -> None:
                     help="dtype of the denoise-scan carry + posterior math "
                          "(bf16 is the recorded headline config; sampler math "
                          "is parity-tested at both dtypes)")
+    ap.add_argument("--microbatch", type=int, default=0,
+                    help="split the batch into lax.map'd microbatches of "
+                         "this size inside ONE dispatch.  The bf16[B,4800,"
+                         "384] fusion working sets spill VMEM past batch 16 "
+                         "(round-2 profile, ~8%%/example at 32); microbatch "
+                         "16 keeps every fusion at its batch-16 working set "
+                         "while amortizing dispatch over the full batch")
     ap.add_argument("--lower_only", action="store_true",
                     help="trace+lower the decode graph and exit (CPU-safe "
                          "smoke test; no backend compile, no measurement)")
@@ -112,8 +119,7 @@ def main() -> None:
             variables,
         )
 
-    @jax.jit
-    def decode(variables, cond_vars, wav, key):
+    def decode_body(variables, cond_vars, wav, key):
         c = cond_model.apply(cond_vars, wav, method="get_cond")
         raw = model.apply(variables, c, method=lambda m, cc: m.diff_model.cond_upsampler(cc))
         B = raw.shape[0]
@@ -146,6 +152,20 @@ def main() -> None:
         else:
             sample = diffusion.ddim_from(model_fn, img, 100, STEPS, key, img)
         return model.apply(variables, sample.astype(dtype), method="decode")
+
+    @jax.jit
+    def decode(variables, cond_vars, wav, key):
+        mb = args.microbatch
+        if mb and mb < wav.shape[0]:
+            assert wav.shape[0] % mb == 0, "batch must divide by --microbatch"
+            k = wav.shape[0] // mb
+            w = wav.reshape(k, mb, *wav.shape[1:])
+            keys = jax.random.split(key, k)
+            out = jax.lax.map(
+                lambda args_: decode_body(variables, cond_vars, *args_),
+                (w, keys))
+            return out.reshape(wav.shape[0], *out.shape[2:])
+        return decode_body(variables, cond_vars, wav, key)
 
     key = jax.random.PRNGKey(0)
     if args.lower_only:
