@@ -31,7 +31,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     START="saved_models/$EXP/model_latest"
   fi
   echo "=== chunk from $START at $(date -u) ===" >> "$LOG"
-  timeout 5400 python -m ladiffcodec_tpu.train \
+  timeout "${TRAIN_TIMEOUT:-5400}" python -m ladiffcodec_tpu.train \
     --data_folder_path data_synth --seq_len_p_sec 1.0 \
     --enc_ratios 8 5 4 2 --quantization --bandwidth 3.0 \
     --rvq_expire_threshold 0 \
