@@ -40,7 +40,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     fi
   done
   echo "=== chunk from $START at $(date -u) ===" >> "$LOG"
-  timeout 5400 python -m ladiffcodec_tpu.train \
+  timeout "${TRAIN_TIMEOUT:-5400}" python -m ladiffcodec_tpu.train \
     --data_folder_path data_synth --seq_len_p_sec 1.2 --batch_size 32 \
     --lr 1e-4 --grad_clip 1.0 --write_on_every 50 --steps_per_dispatch 5 \
     --model_type unet --run_diff --freeze_ed \
