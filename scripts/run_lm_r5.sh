@@ -40,11 +40,16 @@ if [ "$L" -lt 420 ]; then
   exit 0
 fi
 
+# corpus build dominates the train stage (~7 min at 960 utts on this 1-core
+# host); under a tight budget shrink the corpus so the end-save still happens
+N_UTTS=960; PASSES=2; STEPS=3000
+if [ "$L" -lt 1200 ]; then N_UTTS=480; PASSES=1; STEPS=1500; fi
+
 {
-  echo "=== run_lm_r5 at $(date -u) codec=$CODEC (budget ${L}s) ==="
+  echo "=== run_lm_r5 at $(date -u) codec=$CODEC (budget ${L}s, n_utts $N_UTTS) ==="
   timeout "$(cap "$L" 5400)" python scripts/train_lm.py \
     --codec "$CODEC" \
-    --out "$OUT" --steps 3000 --n_utts 960 --passes 2
+    --out "$OUT" --steps "$STEPS" --n_utts "$N_UTTS" --passes "$PASSES"
   echo "--- f16 npz snapshot ---"
   python scripts/ckpt_npz.py export "$OUT/model_best" "$OUT/params_f16.npz"
   git add -f "$OUT/params_f16.npz" 2>/dev/null || true
