@@ -23,8 +23,8 @@ DEADLINE=${DEADLINE:?unix-seconds; no new chunk starts after this}
 EXP=stage3_diff_r9 \
 START=saved_models/stage3_diff_r9/model_best \
 COND=saved_models/stage1_codec_nodisc_r4 \
-CHUNK=${CHUNK:-250} \
-TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-1200} \
+CHUNK=${CHUNK:-750} \
+TRAIN_TIMEOUT=${TRAIN_TIMEOUT:-1500} \
 DEADLINE=$DEADLINE \
   bash scripts/run_stage3_deq.sh
 
