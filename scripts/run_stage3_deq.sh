@@ -42,14 +42,14 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
   echo "=== chunk from $START at $(date -u) ===" >> "$LOG"
   timeout "${TRAIN_TIMEOUT:-5400}" python -m ladiffcodec_tpu.train \
     --data_folder_path data_synth --seq_len_p_sec 1.2 --batch_size 32 \
-    --lr 1e-4 --grad_clip 1.0 --write_on_every 50 --steps_per_dispatch 5 \
+    --lr 1e-4 --grad_clip 1.0 --write_on_every "${WRITE_EVERY:-50}" --steps_per_dispatch 5 \
     --model_type unet --run_diff --freeze_ed \
     --scaling_global --global_scale 1.3 --data_std 0.065 \
     --diff_objective pred_x0 \
     --rep_dims 128 --emb_dims 128 --diff_dims 128 --enc_ratios 8 \
     --unet_scale_cond --cond_pred_weight 0.5 \
     --deq_weight "${DEQW:-1.0}" --deq_mel_weight "${DEQMELW:-0.01}" \
-    --deq_t_lo 50 --deq_t_hi 300 \
+    --deq_t_lo "${T_LO:-50}" --deq_t_hi "${T_HI:-300}" \
     --model_for_cond "${COND:-saved_models/stage1_codec_nodisc}" \
     --cond_enc_ratios 8 5 4 2 --cond_quantization --cond_bandwidth 1.5 \
     --upsampling_ratios 5 4 2 \
