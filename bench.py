@@ -44,7 +44,12 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mode", choices=["ddim50", "halfway100", "onestep"],
                     default="ddim50")
-    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=32,
+                    help="default 32 with --microbatch 16: the round-5 sweep "
+                         "(logs/bench_r5.txt) measured 120.96x vs 119.03x at "
+                         "batch 16 and 108.47x at plain batch 32 — dispatch "
+                         "amortizes over 32 while fusions keep their batch-16 "
+                         "VMEM working set")
     ap.add_argument("--param_dtype", choices=["float32", "bfloat16"], default="float32",
                     help="bfloat16 halves weight HBM reads in the denoise scan")
     ap.add_argument("--attn_layout", choices=["bhtd", "bthd"], default="bthd",
@@ -53,10 +58,11 @@ def main() -> None:
                     help="dtype of the denoise-scan carry + posterior math "
                          "(bf16 is the recorded headline config; sampler math "
                          "is parity-tested at both dtypes)")
-    ap.add_argument("--microbatch", type=int, default=0,
+    ap.add_argument("--microbatch", type=int, default=16,
                     help="split the batch into lax.map'd microbatches of "
-                         "this size inside ONE dispatch.  The bf16[B,4800,"
-                         "384] fusion working sets spill VMEM past batch 16 "
+                         "this size inside ONE dispatch (0 disables).  The "
+                         "bf16[B,4800,384] fusion working sets spill VMEM "
+                         "past batch 16 "
                          "(round-2 profile, ~8%%/example at 32); microbatch "
                          "16 keeps every fusion at its batch-16 working set "
                          "while amortizing dispatch over the full batch")
