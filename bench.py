@@ -71,7 +71,10 @@ def main() -> None:
                          "smoke test; no backend compile, no measurement)")
     args = ap.parse_args()
     if args.lower_only:
-        jax.config.update("jax_platforms", "cpu")
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:
+            pass  # backend already initialized (e.g. under the test harness)
 
     from ladiffcodec_tpu.models.diff_rep import DiffAudioRep
 

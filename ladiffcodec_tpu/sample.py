@@ -448,6 +448,28 @@ def synthesis(inp_args) -> None:
                 print(f"{wav_file} -> {save_path}.wav")
 
 
+def resolve_chain_start(inp_args, raw_argv: tp.Sequence[str]) -> None:
+    """Default --chain_start to 'reencode' for the dequantization samplers.
+
+    The deq operating point is trained/evaluated on the re-encoded scaled
+    latent; the flat max-abs-normalized cond prediction is off that
+    distribution (ADVICE r4).  Mutates ``inp_args`` in place; an explicit
+    ``--chain_start cond`` on the command line is honored with a warning.
+    """
+    if inp_args.sampler not in ("onestep", "ddim_deq"):
+        return
+    explicit = any(a.split("=")[0] == "--chain_start" for a in raw_argv)
+    if not explicit and inp_args.chain_start == "cond":
+        inp_args.chain_start = "reencode"
+        print("[sampler] onestep/ddim_deq: chain_start defaulted to "
+              "'reencode' (pass --chain_start cond to override)")
+    elif inp_args.chain_start == "cond":
+        print("[sampler] WARNING: onestep/ddim_deq with chain_start="
+              "cond feeds a max-abs-normalized cond prediction as x_t, "
+              "off the scaled-latent distribution the deq operating "
+              "point is trained on; expect degraded output")
+
+
 def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     from .utils.compile_cache import setup_compile_cache
 
@@ -455,23 +477,10 @@ def main(argv: tp.Optional[tp.Sequence[str]] = None) -> None:
     parser = get_parser()
     inp_args = parser.parse_args(argv)
     apply_run_config(inp_args, parser, argv)
-    if inp_args.sampler in ("onestep", "ddim_deq"):
-        import sys
+    import sys
 
-        raw = list(sys.argv[1:]) if argv is None else list(argv)
-        explicit = any(a.split("=")[0] == "--chain_start" for a in raw)
-        if not explicit and inp_args.chain_start == "cond":
-            # the deq operating point is trained/evaluated on the re-encoded
-            # scaled latent; the flat max-abs-normalized cond prediction is
-            # off that distribution (ADVICE r4) — default to reencode
-            inp_args.chain_start = "reencode"
-            print("[sampler] onestep/ddim_deq: chain_start defaulted to "
-                  "'reencode' (pass --chain_start cond to override)")
-        elif inp_args.chain_start == "cond":
-            print("[sampler] WARNING: onestep/ddim_deq with chain_start="
-                  "cond feeds a max-abs-normalized cond prediction as x_t, "
-                  "off the scaled-latent distribution the deq operating "
-                  "point is trained on; expect degraded output")
+    resolve_chain_start(inp_args, list(sys.argv[1:]) if argv is None
+                        else list(argv))
     synthesis(inp_args)
 
 
