@@ -50,6 +50,7 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     --unet_scale_cond --cond_pred_weight 0.5 \
     --deq_weight "${DEQW:-1.0}" --deq_mel_weight "${DEQMELW:-0.01}" \
     --deq_t_lo "${T_LO:-50}" --deq_t_hi "${T_HI:-300}" \
+    --min_save_gain "${MIN_GAIN:-0.002}" \
     --model_for_cond "${COND:-saved_models/stage1_codec_nodisc}" \
     --cond_enc_ratios 8 5 4 2 --cond_quantization --cond_bandwidth 1.5 \
     --upsampling_ratios 5 4 2 \
