@@ -15,10 +15,15 @@ LOG=logs/round5_tail3.txt
 
 echo "=== tail4 resume at $(date -u) (deadline $(date -ud @${DEADLINE:?} +%H:%M)) ===" >> "$LOG"
 
-# MIN_GAIN 0.004: each full-TrainState orbax save streams ~200 MB through
-# the tunnel (~20-25 min of background IO that contends with dispatch);
-# with 3 vals/chunk, save only on >=0.4% relative val improvement.
-WRITE_EVERY=20 MIN_GAIN=0.004 DEADLINE=$DEADLINE bash scripts/run_r9d.sh >> "$LOG" 2>&1
+# Chunk-1 calibration (logs/stage3_diff_r9d.txt): epochs ~30-35 s on the
+# 5x corpus, full-TrainState saves block ~2 min (375 MB device_get through
+# the tunnel), boundary drag ~5 min.  So: ONE long chunk (TRAIN_TIMEOUT
+# 8400 + near-now DEADLINE; CHUNK=4000 keeps the epoch limit from ending
+# it early), vals every 20 epochs (~11 min apart), default 0.2% save
+# threshold — worst case ~17% save overhead, and model_best stays within
+# one val of the frontier for the gate.
+WRITE_EVERY=20 TRAIN_TIMEOUT=8400 CHUNK=4000 \
+  DEADLINE=$DEADLINE bash scripts/run_r9d.sh >> "$LOG" 2>&1
 
 echo "=== pytest full suite at $(date -u) ===" >> "$LOG"
 timeout 3600 python -m pytest tests/ -q > logs/pytest_r5b_full.txt 2>&1
